@@ -1,0 +1,115 @@
+"""NtHash1 seed constants and base-code tables.
+
+Semantics reproduced from the reference crate rust-seq2kminmers:
+  - 64-bit published NtHash1 seeds (reference: src/nthash_hpc.rs:30-49,
+    src/nthash_avx512_32.rs:233-236).
+  - With the reference's active configuration H = u32 (src/lib.rs:31) the
+    lookup tables are the *low 32 bits* of the 64-bit seeds (the `as H` cast
+    at src/nthash_hpc.rs:32-36; `SHIFT = 0` in the SIMD path,
+    src/nthash_avx512_32.rs:238-240).
+  - Unknown (non-ACGTN) bytes hash to 1 in the scalar tables
+    (src/nthash_hpc.rs:31) and N hashes to 0 (src/nthash_hpc.rs:36).
+
+Base codes follow the SIMD 3-bit LUT (src/nthash_avx512_32.rs:183-184):
+A=0, C=1, G=2, T=3, N=4.  We add OTHER=5 (scalar table default seed 1) and
+PAD=6 (padding sentinel for batched tensors; hashes to 0 and never forms a
+valid window).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 64-bit canonical NtHash1 seeds.
+SEED_A64 = 0x3C8BFBB395C60474
+SEED_C64 = 0x3193C18562A02B4C
+SEED_G64 = 0x20323ED082572324
+SEED_T64 = 0x295549F54BE24456
+
+MASK32 = 0xFFFFFFFF
+U32_MAX = 0xFFFFFFFF
+U64_MAX = 0xFFFFFFFFFFFFFFFF
+
+# Low 32 bits — the active H=u32 configuration of the reference.
+SEED_A = SEED_A64 & MASK32
+SEED_C = SEED_C64 & MASK32
+SEED_G = SEED_G64 & MASK32
+SEED_T = SEED_T64 & MASK32
+
+# Base codes (order matches the reference SIMD LUT at
+# src/nthash_avx512_32.rs:183-184 which maps A->0 C->1 G->2 T->3 N->4).
+CODE_A = 0
+CODE_C = 1
+CODE_G = 2
+CODE_T = 3
+CODE_N = 4
+CODE_OTHER = 5
+CODE_PAD = 6
+NUM_CODES = 7
+
+# Forward-strand seed per code; rc = complement's seed
+# (src/nthash_hpc.rs:41-49).  N -> 0; OTHER -> 1 (scalar table default);
+# PAD -> 0 (never part of a valid window).
+SEED_TABLE_F = np.array(
+    [SEED_A, SEED_C, SEED_G, SEED_T, 0, 1, 0], dtype=np.uint32
+)
+SEED_TABLE_R = np.array(
+    [SEED_T, SEED_G, SEED_C, SEED_A, 0, 1, 0], dtype=np.uint32
+)
+
+# byte -> code table for ASCII input.  Uppercase and lowercase ACGT map to
+# their code (the scalar tables only populate uppercase, so lowercase is
+# OTHER there; but lowercase never appears in the supported inputs — we map
+# lowercase to the same base like the SIMD LUT does via `& 0x0f`,
+# src/nthash_avx512_32.rs:190-192).
+BYTE_TO_CODE = np.full(256, CODE_OTHER, dtype=np.uint8)
+for _b, _c in [
+    (ord("A"), CODE_A),
+    (ord("C"), CODE_C),
+    (ord("G"), CODE_G),
+    (ord("T"), CODE_T),
+    (ord("N"), CODE_N),
+    (ord("a"), CODE_A),
+    (ord("c"), CODE_C),
+    (ord("g"), CODE_G),
+    (ord("t"), CODE_T),
+    (ord("n"), CODE_N),
+]:
+    BYTE_TO_CODE[_b] = _c
+
+CODE_TO_BYTE = np.frombuffer(b"ACGTN??", dtype=np.uint8).copy()
+
+
+def encode_bases(seq: bytes | str | np.ndarray) -> np.ndarray:
+    """ASCII sequence -> uint8 code array (A=0 C=1 G=2 T=3 N=4 other=5)."""
+    if isinstance(seq, str):
+        seq = seq.encode()
+    arr = np.frombuffer(bytes(seq), dtype=np.uint8) if not isinstance(
+        seq, np.ndarray
+    ) else seq.astype(np.uint8, copy=False)
+    return BYTE_TO_CODE[arr]
+
+
+def hash_bound_u32(density: float) -> int:
+    """Scalar-path density bound: trunc(density * u32::MAX) (src/lib.rs:91)."""
+    return min(U32_MAX, int(np.float64(density) * np.float64(U32_MAX)))
+
+
+def hash_bound_simd_u32(density: float) -> int:
+    """SIMD-path bound.
+
+    The reference recomputes the bound through f32
+    (src/nthash_avx512_32.rs:47-48): density' = bound/H::MAX in f64, then
+    `(density' as f32) * (u32::MAX as f32)` in f32 arithmetic, truncated.
+    Note `u32::MAX as f32` rounds to 4294967296.0.
+    """
+    bound = hash_bound_u32(density)
+    d2 = np.float64(bound) / np.float64(U32_MAX)
+    prod = np.float32(d2) * np.float32(np.float64(U32_MAX))
+    # Rust `as u32` saturates.
+    prod64 = float(prod)
+    if prod64 <= 0.0:
+        return 0
+    if prod64 >= float(U32_MAX):
+        return U32_MAX
+    return int(prod64)

@@ -1,0 +1,248 @@
+"""Bit-exact numpy oracle for the reference semantics.
+
+This module is the *semantic specification* of rust-seq2kminmers, written in
+plain vectorized numpy.  It is used to validate the TPU (JAX/Pallas) pipeline
+and is itself validated against the literal golden hash values from the
+reference test suite (reference: tests/main.rs:41-57, the H=u32 goldens).
+
+Key algebra (this is also what makes the TPU port natural): the canonical
+NtHash1 sliding-window hash is an associative XOR of position-rotated seeds,
+
+    fh(i) = XOR_{t=0..l-1} rol32(h(s[i+t]), l-1-t)        (src/nthash_hpc.rs:144)
+    rh(i) = XOR_{t=0..l-1} rol32(rc(s[i+t]), t)           (src/nthash_hpc.rs:168)
+    hash(i) = min(fh(i), rh(i))                            (src/nthash_hpc.rs:231)
+
+so with pre-rotated terms a[j] = rol32(h(s[j]), -j mod 32) and
+b[j] = rol32(rc(s[j]), j mod 32) and their exclusive XOR-prefix P, Q:
+
+    fh(i) = rol32(P[i+l] ^ P[i], (l-1+i) mod 32)
+    rh(i) = rol32(Q[i+l] ^ Q[i], (-i) mod 32)
+
+The k-min-mer (minimizer-space) hash has the identical structure over the
+stream of mixed minimizer hashes with 64-bit rotates (src/lib.rs:240-249 and
+the non-rolling oracle at src/lib.rs:275-288).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import List, Tuple
+
+import numpy as np
+
+from .constants import (
+    SEED_TABLE_F,
+    SEED_TABLE_R,
+    encode_bases,
+    hash_bound_simd_u32,
+    hash_bound_u32,
+)
+
+
+class HashMode(Enum):
+    """Mirror of the reference HashMode enum (src/lib.rs:22-27)."""
+
+    Regular = "regular"
+    Hpc = "hpc"
+    Simd = "simd"
+    HpcSimd = "hpcsimd"
+
+
+@dataclass
+class KminmerRecord:
+    """One emitted k-min-mer (reference: KminmerHash, src/kminmer.rs:129-135).
+
+    Equality and ordering compare the hash only (src/kminmer.rs:181-204);
+    positions are payload.
+    """
+
+    hash: int
+    start: int
+    end: int
+    offset: int
+    rev: bool
+
+    def __eq__(self, other):  # hash-only equality, like the reference
+        return self.hash == other.hash
+
+    def get_hash(self) -> int:
+        return self.hash
+
+
+def _rol32(x: np.ndarray, r: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    r = np.asarray(r, dtype=np.uint64) % np.uint64(32)
+    out = ((x << r) | (x >> (np.uint64(32) - r) % np.uint64(64))) & np.uint64(
+        0xFFFFFFFF
+    )
+    # r == 0: (x >> 32) is UB-ish in C but fine in numpy uint64 (shifts in
+    # 64-bit width); x << 0 | x >> 32 == x since x < 2**32.
+    return out.astype(np.uint32)
+
+
+def _rol64(x: np.ndarray, r) -> np.ndarray:
+    x = np.asarray(x, dtype=np.uint64)
+    r = np.asarray(r, dtype=np.uint64) % np.uint64(64)
+    left = x << r
+    right = np.where(r == 0, np.uint64(0), x >> (np.uint64(64) - r))
+    return left | right
+
+
+def mixhash_u32(x) -> np.ndarray:
+    """Zero-extend u32 to u64 and xorshift-mix (src/lib.rs:157-169)."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = x ^ ((x << np.uint64(13)) & np.uint64(0xFFFFFFFFFFFFFFFF))
+    x = x ^ (x >> np.uint64(7))
+    x = x ^ ((x << np.uint64(17)) & np.uint64(0xFFFFFFFFFFFFFFFF))
+    return x
+
+
+def sliding_nthash32(codes: np.ndarray, l: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Canonical 32-bit NtHash1 for every window of length l.
+
+    Returns (fh, rh) arrays of length len(codes) - l + 1 (empty if the
+    sequence is shorter than l).
+    """
+    n = len(codes)
+    if n < l:
+        z = np.zeros(0, dtype=np.uint32)
+        return z, z
+    hf = SEED_TABLE_F[codes]
+    hr = SEED_TABLE_R[codes]
+    j = np.arange(n, dtype=np.int64)
+    a = _rol32(hf, (-j) % 32)
+    b = _rol32(hr, j % 32)
+    # Exclusive prefix XOR, length n+1.
+    pa = np.zeros(n + 1, dtype=np.uint32)
+    pb = np.zeros(n + 1, dtype=np.uint32)
+    np.bitwise_xor.accumulate(a, out=pa[1:])
+    np.bitwise_xor.accumulate(b, out=pb[1:])
+    i = np.arange(n - l + 1, dtype=np.int64)
+    fh = _rol32(pa[i + l] ^ pa[i], (l - 1 + i) % 32)
+    rh = _rol32(pb[i + l] ^ pb[i], (-i) % 32)
+    return fh, rh
+
+
+def hpc_compress(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Collapse runs of identical codes (any byte), like the fused scalar HPC
+    iterator (src/nthash_hpc.rs:149) and the SIMD RLE kernel (src/hpc.rs:88).
+
+    Returns (hpc_codes, run_start_positions) — position = index of the first
+    character of each run in the original sequence (src/hpc.rs:7-25
+    convention, asserted equal across implementations at tests/main.rs:76-78).
+    """
+    n = len(codes)
+    if n == 0:
+        return codes[:0], np.zeros(0, dtype=np.int64)
+    keep = np.ones(n, dtype=bool)
+    keep[1:] = codes[1:] != codes[:-1]
+    pos = np.nonzero(keep)[0]
+    return codes[pos], pos
+
+
+def minimizers(
+    seq, l: int, density: float, mode: HashMode
+) -> List[Tuple[int, int, int]]:
+    """The L2 stage: density-selected minimizer stream.
+
+    Returns a list of (start, end, hash_u32) with positions in original
+    sequence space, exactly matching the per-mode conventions of the
+    reference (see each branch).
+    """
+    codes = encode_bases(seq) if not (
+        isinstance(seq, np.ndarray) and seq.dtype == np.uint8 and seq.max(initial=0) < 8
+    ) else seq
+    n = len(codes)
+    out: List[Tuple[int, int, int]] = []
+    # KminmersIterator::new constructs no sub-iterator unless seq.len() > l
+    # (src/lib.rs:97) — note the *strict* inequality.
+    if n <= l:
+        return out
+
+    if mode in (HashMode.Regular, HashMode.Simd):
+        fh, rh = sliding_nthash32(codes, l)
+        h = np.minimum(fh, rh)
+        if mode is HashMode.Regular:
+            # Regular: caller-side filter `hash <= bound` (src/lib.rs:228),
+            # f64 bound (src/lib.rs:91); all windows are candidates.
+            bound = hash_bound_u32(density)
+            sel = np.nonzero(h <= bound)[0]
+        else:
+            # Simd: strict `<` against the f32-recomputed bound
+            # (src/nthash_avx512_32.rs:48,55,130).
+            bound = hash_bound_simd_u32(density)
+            sel = np.nonzero(h < bound)[0]
+        for i in sel:
+            out.append((int(i), int(i) + l - 1, int(h[i])))
+        return out
+
+    hpc_codes, pos = hpc_compress(codes)
+    m = len(hpc_codes)
+    if m < l:
+        return out
+    fh, rh = sliding_nthash32(hpc_codes, l)
+    h = np.minimum(fh, rh)
+    if mode is HashMode.Hpc:
+        # Scalar fused HPC iterator: emits window i only if run i+l exists
+        # (the iterator returns None once the original index walks past the
+        # end, src/nthash_hpc.rs:256-267 — the final HPC window is never
+        # emitted).  start = original start of run i (src/nthash_hpc.rs:233),
+        # end = last original index of run i+l-1, i.e. pos[i+l]-1
+        # (src/nthash_hpc.rs:234,281: current_idx_plus_k - 1).
+        # Threshold: `<=` f64 bound (src/nthash_hpc.rs:277).
+        bound = hash_bound_u32(density)
+        nwin = m - l  # windows 0 .. m-l-1
+        hh = h[:nwin]
+        sel = np.nonzero(hh <= bound)[0]
+        for i in sel:
+            out.append((int(pos[i]), int(pos[i + l]) - 1, int(hh[i])))
+    else:  # HpcSimd
+        # SIMD-over-HPC-string: all windows; start = pos[i],
+        # end = pos[i+l-1] (start of the *last run*, a different convention
+        # from scalar Hpc — src/nthash_hpc_simd.rs:64).  Threshold `<` with
+        # the f32 bound.
+        bound = hash_bound_simd_u32(density)
+        sel = np.nonzero(h < bound)[0]
+        for i in sel:
+            out.append((int(pos[i]), int(pos[i + l - 1]), int(h[i])))
+    return out
+
+
+def kminmers(
+    seq, l: int, k: int, density: float, mode: HashMode
+) -> List[KminmerRecord]:
+    """Full pipeline: minimizer stream -> mixhash -> k-window canonical
+    minimizer-space NtHash -> KminmerRecord stream (src/lib.rs:179-270).
+    """
+    mins = minimizers(seq, l, density, mode)
+    if len(mins) < k:
+        return []
+    starts = np.array([m[0] for m in mins], dtype=np.int64)
+    ends = np.array([m[1] for m in mins], dtype=np.int64)
+    mixed = mixhash_u32(np.array([m[2] for m in mins], dtype=np.uint64))
+
+    c = len(mixed)
+    jj = np.arange(c, dtype=np.int64)
+    a = _rol64(mixed, (-jj) % 64)
+    b = _rol64(mixed, jj % 64)
+    pa = np.zeros(c + 1, dtype=np.uint64)
+    pb = np.zeros(c + 1, dtype=np.uint64)
+    np.bitwise_xor.accumulate(a, out=pa[1:])
+    np.bitwise_xor.accumulate(b, out=pb[1:])
+    w = np.arange(c - k + 1, dtype=np.int64)
+    f = _rol64(pa[w + k] ^ pa[w], (k - 1 + w) % 64)
+    r = _rol64(pb[w + k] ^ pb[w], (-w) % 64)
+    # canonical: min; rev flag = rhash < fhash (src/lib.rs:250-251)
+    hh = np.minimum(f, r)
+    rev = r < f
+    return [
+        KminmerRecord(
+            hash=int(hh[i]),
+            start=int(starts[i]),
+            end=int(ends[i + k - 1]),
+            offset=int(i),
+            rev=bool(rev[i]),
+        )
+        for i in range(c - k + 1)
+    ]
