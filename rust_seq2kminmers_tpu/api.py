@@ -1,0 +1,142 @@
+"""User-facing API mirroring the reference crate's surface.
+
+`KminmersIterator(seq, l, k, density, mode)` corresponds to the reference
+KminmersIterator (src/lib.rs:89) and yields KminmerRecord objects whose
+equality is hash-only (src/kminmer.rs:181-185).  Under the hood single-read
+calls run the batched TPU pipeline on a length-bucketed padded tensor (one
+compilation per bucket); use `make_pipeline` / `kminmer_pipeline` directly
+for high-throughput batch processing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, List
+
+import numpy as np
+
+from .constants import CODE_PAD, encode_bases
+from .oracle import HashMode, KminmerRecord
+from .oracle import kminmers as _oracle_kminmers
+from .ops.pipeline import PipelineSpec, make_pipeline
+from .ops.u64 import to_py_u64
+
+# Reference limits: the scalar HPC path requires l < 256 (BUFLEN,
+# src/nthash_hpc.rs:9-11,133); the SIMD paths assert l <= 31
+# (src/nthash_avx512_32.rs:33) because 32-bit NtHash1 degenerates for
+# l >= 32 (src/nthash2_avx512_32.rs:4-6).
+MAX_L_SIMD = 31
+MAX_L_HPC = 255
+
+
+class KSizeTooBig(ValueError):
+    """Reference Error::KSizeTooBig (src/nthash_hpc.rs:23-24)."""
+
+
+def _mode_of(mode) -> HashMode:
+    if isinstance(mode, HashMode):
+        return mode
+    return HashMode(str(mode).lower())
+
+
+def _bucket_length(n: int) -> int:
+    """Pad single-read inputs to a small set of static lengths to bound the
+    number of jit compilations."""
+    b = 256
+    while b < n + 1:
+        b *= 2
+    return b
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_pipeline(spec: PipelineSpec):
+    return make_pipeline(spec)
+
+
+def kminmers_list(
+    seq,
+    l: int,
+    k: int,
+    density: float,
+    mode=HashMode.Regular,
+    backend: str = "jax",
+    strict_limits: bool = True,
+) -> List[KminmerRecord]:
+    """Compute all k-min-mers of one sequence, in order."""
+    mode = _mode_of(mode)
+    if strict_limits:
+        if mode in (HashMode.Simd, HashMode.HpcSimd) and l > MAX_L_SIMD:
+            raise KSizeTooBig(f"l={l} exceeds {MAX_L_SIMD} for SIMD modes")
+        if mode is HashMode.Hpc and l > MAX_L_HPC:
+            raise KSizeTooBig(f"l={l} exceeds {MAX_L_HPC} for Hpc mode")
+    if backend == "oracle":
+        return _oracle_kminmers(seq, l, k, density, mode)
+
+    import jax.numpy as jnp
+
+    codes = encode_bases(seq)
+    n = len(codes)
+    if n <= l:
+        return []
+    L = _bucket_length(max(n, l + 1))
+    padded = np.full((1, L), CODE_PAD, dtype=np.uint8)
+    padded[0, :n] = codes
+    nwin = L - l + 1
+    spec = PipelineSpec(
+        l=l,
+        k=k,
+        density=density,
+        mode=mode.value,
+        max_minimizers=nwin,  # exact-capacity: never drops minimizers
+    )
+    fn = _cached_pipeline(spec)
+    out = fn(jnp.asarray(padded), jnp.asarray(np.array([n], dtype=np.int32)))
+    nk = int(out.n_kminmers[0])
+    if nk == 0:
+        return []
+    hashes = to_py_u64((out.hash_hi[0, :nk], out.hash_lo[0, :nk]))
+    start = np.asarray(out.start[0, :nk])
+    end = np.asarray(out.end[0, :nk])
+    rev = np.asarray(out.rev[0, :nk])
+    return [
+        KminmerRecord(
+            hash=int(hashes[i]),
+            start=int(start[i]),
+            end=int(end[i]),
+            offset=i,
+            rev=bool(rev[i]),
+        )
+        for i in range(nk)
+    ]
+
+
+class KminmersIterator:
+    """Iterator facade over one sequence (reference src/lib.rs:70-131).
+
+    Example:
+        it = KminmersIterator(b"ACGT...", l=10, k=5, density=0.1, mode="hpc")
+        for km in it:
+            print(km.hash, km.start, km.end, km.offset, km.rev)
+    """
+
+    def __init__(
+        self,
+        seq,
+        l: int,
+        k: int,
+        density: float,
+        mode=HashMode.Regular,
+        backend: str = "jax",
+    ):
+        self._records = kminmers_list(
+            seq, l, k, density, mode, backend=backend
+        )
+
+    def __iter__(self) -> Iterator[KminmerRecord]:
+        return iter(self._records)
+
+    def __len__(self) -> int:
+        return len(self._records)
+
+    def collect(self) -> List[KminmerRecord]:
+        return list(self._records)

@@ -1,0 +1,115 @@
+"""Batched sliding canonical NtHash1-32 as an associative XOR-scan.
+
+TPU-first reformulation of the reference's rolling/AVX-512 hash loops
+(src/nthash_hpc.rs:245-249, src/nthash_avx512_32.rs:348-509): because the
+window hash is an XOR of position-rotated seeds, the entire sliding-hash
+stream is
+
+    fh(i) = rol32(P[i+l] ^ P[i], (l-1+i) mod 32)
+    rh(i) = rol32(Q[i+l] ^ Q[i], (-i)  mod 32)
+
+with P/Q exclusive XOR-prefixes of pre-rotated seed terms.  One scan per
+strand, then shifted-slice + rotate — no sequential dependence, fully
+vectorized over [batch, length].  This is the same algebra the reference
+exploits intra-register (Hillis-Steele XOR-scan + lane-15 carry,
+src/nthash_avx512_32.rs:367-425), scaled to whole reads.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import SEED_TABLE_F, SEED_TABLE_R
+from .u64 import U32, rol32
+
+_SEED_F = jnp.asarray(SEED_TABLE_F)
+_SEED_R = jnp.asarray(SEED_TABLE_R)
+
+
+def xor_scan(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Inclusive XOR prefix scan along an axis."""
+    return jax.lax.associative_scan(jnp.bitwise_xor, x, axis=axis)
+
+
+def _shift_left(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """y[..., i] = x[..., i+s], zero-filled at the end (static s >= 0)."""
+    if s == 0:
+        return x
+    L = x.shape[-1]
+    zero = jnp.zeros(x.shape[:-1] + (s,), dtype=x.dtype)
+    return jnp.concatenate(
+        [jax.lax.slice_in_dim(x, s, L, axis=-1), zero], axis=-1
+    )
+
+
+def sliding_window_xor(x: jnp.ndarray, l: int) -> jnp.ndarray:
+    """W[..., i] = x[..., i] ^ x[..., i+1] ^ ... ^ x[..., i+l-1].
+
+    Log-doubling scheme: W_{2m}[i] = W_m[i] ^ W_m[i+m], combining the binary
+    decomposition of l — log2(l) + popcount(l) shifted XORs over the full
+    lane-aligned array (the classic prefix-doubling form of "Parallel
+    approach to sliding window sums", arXiv:1811.10074; the reference's
+    16-lane Hillis-Steele XOR-scan, src/nthash_avx512_32.rs:367-425, is the
+    same recurrence intra-register).  Work is O(L log l), layout-friendly
+    (no reshapes), and compile time is independent of L.
+
+    Output has shape [..., L]; entries past L-l+1 mix in zero padding and
+    must be masked by the caller.
+    """
+    if l == 1:
+        return x
+    acc = None
+    acc_len = 0
+    w = x  # W_m with m = 1
+    m = 1
+    rem = l
+    while rem:
+        if rem & 1:
+            term = _shift_left(w, acc_len)
+            acc = term if acc is None else acc ^ term
+            acc_len += m
+        rem >>= 1
+        if rem:
+            w = w ^ _shift_left(w, m)
+            m <<= 1
+    return acc
+
+
+def sliding_nthash32(
+    codes: jnp.ndarray, l: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """codes: uint8[..., L] base codes -> (fh, rh) uint32[..., L-l+1].
+
+    Window i covers codes[..., i : i+l].  Values at windows overlapping
+    padding are garbage and must be masked by the caller's validity mask.
+    """
+    L = codes.shape[-1]
+    if L < l:
+        raise ValueError(f"padded length {L} < l={l}")
+    j = jnp.arange(L, dtype=U32)
+    hf = _SEED_F[codes]
+    hr = _SEED_R[codes]
+    a = rol32(hf, (U32(32) - (j & U32(31))) & U32(31))  # rol by (-j) mod 32
+    b = rol32(hr, j & U32(31))
+    wa = sliding_window_xor(a, l)
+    wb = sliding_window_xor(b, l)
+    nwin = L - l + 1
+    i = jnp.arange(nwin, dtype=U32)
+    fh = rol32(
+        jax.lax.slice_in_dim(wa, 0, nwin, axis=-1), (U32(l - 1) + i) & U32(31)
+    )
+    rh = rol32(
+        jax.lax.slice_in_dim(wb, 0, nwin, axis=-1),
+        (U32(32) - (i & U32(31))) & U32(31),
+    )
+    return fh, rh
+
+
+def canonical_nthash32(codes: jnp.ndarray, l: int) -> jnp.ndarray:
+    """min(fh, rh) per window (src/nthash_hpc.rs:231)."""
+    fh, rh = sliding_nthash32(codes, l)
+    return jnp.minimum(fh, rh)

@@ -1,0 +1,192 @@
+"""The end-to-end batched k-min-mer pipeline (jit-compatible, TPU-native).
+
+Dataflow (one fused jit program; compare reference call stack §3 of
+SURVEY.md — the pull-iterator chain becomes a push/batch dataflow):
+
+    codes[B, L], lengths[B]
+      └─ (hpc modes) hpc keep-mask → compaction → hpc_codes + orig positions
+      └─ sliding canonical NtHash1-32 (XOR-scan)        [ops/nthash.py]
+      └─ density threshold (per-mode comparator/bound)  → selection mask
+      └─ compaction of (start, end, hash) minimizer stream
+      └─ xorshift mixhash (u64 as u32-pairs) + k-window XOR-scan assembly
+      └─ KminmerBatch{hash_hi, hash_lo, start, end, rev, counts}
+
+Per-mode conventions reproduced bit-for-bit (see oracle.py for the
+file:line provenance of each rule):
+  regular : all windows, `hash <= f64-bound`, start=i, end=i+l-1
+  simd    : all windows, `hash <  f32-bound`, start=i, end=i+l-1
+  hpc     : drops the last HPC window, `hash <= f64-bound`,
+            start=run_start[i], end=run_start[i+l]-1
+  hpcsimd : all windows, `hash <  f32-bound`,
+            start=run_start[i], end=run_start[i+l-1]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import CODE_PAD, hash_bound_simd_u32, hash_bound_u32
+from .assemble import assemble_kminmers
+from .compact import I32, compact
+from .hpc import hpc_compress
+from .nthash import sliding_nthash32
+from .u64 import U32
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineSpec:
+    """Static configuration of one compiled pipeline.
+
+    Replaces the reference's compile-time type aliases + runtime args
+    (src/lib.rs:29-39,89).  `max_minimizers` is the static capacity M of the
+    compacted minimizer stream per read; selected minimizers beyond M are
+    dropped (detectable via KminmerBatch.n_minimizers_raw).
+    """
+
+    l: int
+    k: int
+    density: float
+    mode: str = "regular"  # regular | hpc | simd | hpcsimd
+    max_minimizers: Optional[int] = None
+    compaction: str = "bsearch"
+
+    def __post_init__(self):
+        if self.mode not in ("regular", "hpc", "simd", "hpcsimd"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+        if self.l < 1 or self.k < 1:
+            raise ValueError("l and k must be >= 1")
+
+    @property
+    def strict_threshold(self) -> bool:
+        # SIMD paths use `<` (src/nthash_avx512_32.rs:55,130); scalar `<=`.
+        return self.mode in ("simd", "hpcsimd")
+
+    @property
+    def bound(self) -> int:
+        if self.strict_threshold:
+            return hash_bound_simd_u32(self.density)
+        return hash_bound_u32(self.density)
+
+    @property
+    def is_hpc(self) -> bool:
+        return self.mode in ("hpc", "hpcsimd")
+
+    def capacity_for(self, length: int) -> int:
+        if self.max_minimizers is not None:
+            return max(self.max_minimizers, self.k)
+        nwin = max(length - self.l + 1, 1)
+        est = int(nwin * max(self.density, 0.0) * 4.0) + 128
+        return min(max(est, self.k), nwin)
+
+
+class KminmerBatch(NamedTuple):
+    """Structured batch of k-min-mer records (reference KminmerHash,
+    src/kminmer.rs:129-135, as a struct-of-arrays).  The first
+    n_kminmers[b] entries of each row are valid, in sequence order; entry w
+    has offset == w (src/lib.rs:258-259)."""
+
+    hash_hi: jnp.ndarray  # uint32[B, Mk]
+    hash_lo: jnp.ndarray  # uint32[B, Mk]
+    start: jnp.ndarray  # int32[B, Mk]
+    end: jnp.ndarray  # int32[B, Mk]
+    rev: jnp.ndarray  # bool[B, Mk]
+    n_kminmers: jnp.ndarray  # int32[B]
+    # The intermediate minimizer stream (exposed like the reference's L2
+    # iterators are public API):
+    min_hash: jnp.ndarray  # uint32[B, M]
+    min_start: jnp.ndarray  # int32[B, M]
+    min_end: jnp.ndarray  # int32[B, M]
+    n_minimizers: jnp.ndarray  # int32[B] (clipped to M)
+    n_minimizers_raw: jnp.ndarray  # int32[B] (unclipped; > M means overflow)
+
+
+def kminmer_pipeline(
+    codes: jnp.ndarray, lengths: jnp.ndarray, spec: PipelineSpec
+) -> KminmerBatch:
+    """codes: uint8[B, L] (CODE_PAD beyond lengths), lengths: int32[B]."""
+    B, L = codes.shape
+    l, k = spec.l, spec.k
+    if L < l + 1:
+        raise ValueError(f"padded length {L} must exceed l={l}")
+    lengths = lengths.astype(I32)
+
+    if spec.is_hpc:
+        hcodes, pos, hlen = hpc_compress(codes, lengths, spec.compaction)
+        hash_input, eff_len = hcodes, hlen
+    else:
+        hash_input, eff_len = codes, lengths
+
+    fh, rh = sliding_nthash32(hash_input, l)
+    h = jnp.minimum(fh, rh)
+    nwin = L - l + 1
+    i = jnp.arange(nwin, dtype=I32)[None, :]
+
+    # Whole-read gate: no sub-iterator unless seq len > l (src/lib.rs:97).
+    gate = (lengths > l)[:, None]
+    if spec.mode == "hpc":
+        valid = i < (eff_len - l)[:, None]  # last HPC window never emitted
+    else:
+        valid = i <= (eff_len - l)[:, None]
+
+    bound = jnp.asarray(spec.bound, dtype=U32)
+    passed = (h < bound) if spec.strict_threshold else (h <= bound)
+    sel = gate & valid & passed
+
+    if spec.is_hpc:
+        start = pos[:, :nwin]
+        if spec.mode == "hpc":
+            # end = first original index after the window's last run, minus 1
+            pos_ext = jnp.concatenate(
+                [pos, jnp.full((B, 1), L, dtype=I32)], axis=-1
+            )
+            end = pos_ext[:, l : l + nwin] - 1
+        else:
+            end = pos[:, l - 1 : l - 1 + nwin]
+    else:
+        start = jnp.broadcast_to(i, (B, nwin))
+        end = start + (l - 1)
+
+    m_cap = spec.capacity_for(L)
+    (min_start, min_end, min_hash), n_raw = compact(
+        sel,
+        [start, end, h],
+        m_cap,
+        [I32(0), I32(0), U32(0)],
+        method=spec.compaction,
+    )
+    n_min = jnp.minimum(n_raw, m_cap)
+
+    if m_cap < k:
+        raise ValueError(f"minimizer capacity {m_cap} < k={k}")
+    (kh_hi, kh_lo), rev = assemble_kminmers(min_hash, k)
+    mk = m_cap - k + 1
+    n_km = jnp.maximum(n_min - (k - 1), 0)
+    w = jnp.arange(mk, dtype=I32)[None, :]
+    km_valid = w < n_km[:, None]
+    zero32 = jnp.zeros((), dtype=U32)
+    return KminmerBatch(
+        hash_hi=jnp.where(km_valid, kh_hi, zero32),
+        hash_lo=jnp.where(km_valid, kh_lo, zero32),
+        start=jnp.where(km_valid, min_start[:, :mk], 0),
+        end=jnp.where(km_valid, min_end[:, k - 1 :], 0),
+        rev=km_valid & rev,
+        n_kminmers=n_km,
+        min_hash=min_hash,
+        min_start=min_start,
+        min_end=min_end,
+        n_minimizers=n_min,
+        n_minimizers_raw=n_raw,
+    )
+
+
+def make_pipeline(spec: PipelineSpec):
+    """Returns a jitted fn(codes[B, L], lengths[B]) -> KminmerBatch."""
+
+    def fn(codes, lengths):
+        return kminmer_pipeline(codes, lengths, spec)
+
+    return jax.jit(fn)
