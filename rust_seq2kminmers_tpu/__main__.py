@@ -93,9 +93,15 @@ def main(argv=None):
     if not argv:
         demo()
     else:
+        import os
+
+        if not os.path.exists(argv[0]):
+            print(f"error: input file not found: {argv[0]}", file=sys.stderr)
+            return 2
         nb_threads = int(argv[1]) if len(argv) > 1 else 0
         run_file(argv[0], nb_threads)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

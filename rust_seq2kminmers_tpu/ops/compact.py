@@ -58,7 +58,7 @@ def compact(
     values: Sequence[jnp.ndarray],
     m: int,
     fills: Sequence[jnp.ndarray | int],
-    method: str = "bsearch",
+    method: str = "auto",
 ) -> Tuple[list, jnp.ndarray]:
     """Left-pack `values[i][..., n]` where mask is True into M slots.
 
@@ -67,8 +67,35 @@ def compact(
     elements beyond M are dropped; the returned count is the *unclipped*
     number of selected elements so callers can detect overflow
     (count > M means truncation).
+
+    Methods: "auto" (default: the streaming Pallas kernel on TPU — the only
+    one with production throughput — and bsearch elsewhere), "pallas",
+    "pallas_interpret", "bsearch", "scatter", "gather".
     """
     B, N = mask.shape
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "bsearch"
+    if method in ("pallas", "pallas_interpret"):
+        from .pallas.compact_kernel import GROUP, masked_compact
+
+        npad = -(-N // GROUP) * GROUP - N
+        if npad:
+            mask = jnp.pad(mask, ((0, 0), (0, npad)))
+            values = [jnp.pad(v, ((0, 0), (0, npad))) for v in values]
+        interpret = (
+            method == "pallas_interpret" or jax.default_backend() != "tpu"
+        )
+        packed, count = masked_compact(
+            mask, list(values), m, interpret=interpret
+        )
+        valid = jnp.arange(m, dtype=I32)[None, :] < count[:, None]
+        outs = []
+        for p, fill in zip(packed, fills):
+            p = p[:, :m]
+            outs.append(
+                jnp.where(valid, p, jnp.asarray(fill, dtype=p.dtype))
+            )
+        return outs, count
     if method == "bsearch":
         src, valid, count = compact_indices(mask, m)
         outs = []

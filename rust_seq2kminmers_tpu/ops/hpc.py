@@ -28,13 +28,22 @@ def hpc_keep_mask(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 
 
 def hpc_compress(
-    codes: jnp.ndarray, lengths: jnp.ndarray, method: str = "bsearch"
+    codes: jnp.ndarray, lengths: jnp.ndarray, method: str = "auto"
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (hpc_codes uint8[B, L] padded with CODE_PAD,
            pos int32[B, L] original start-of-run positions (padded with L),
            hpc_len int32[B])."""
     B, L = codes.shape
     keep = hpc_keep_mask(codes, lengths)
+    if method == "auto":
+        import jax
+
+        method = "pallas" if jax.default_backend() == "tpu" else "bsearch"
+    if method in ("pallas", "pallas_interpret"):
+        pk, count = hpc_compress_packed(codes, lengths, method)
+        pos = pk >> 3
+        hpc_codes = (pk & 7).astype(codes.dtype)
+        return hpc_codes, pos, count
     if method == "bsearch":
         # The compacted "position" value IS the source index, so only the
         # codes need an actual gather.
@@ -49,3 +58,28 @@ def hpc_compress(
         keep, [codes, j], L, [CODE_PAD, L], method=method
     )
     return hpc_codes, pos, hpc_len
+
+
+def pack_pos_code(codes: jnp.ndarray) -> jnp.ndarray:
+    """(j << 3) | code packing of a code tensor (identity position map)."""
+    B, L = codes.shape
+    if L >= (1 << 28):
+        raise ValueError("padded length must be < 2^28 for packed streams")
+    j = jnp.arange(L, dtype=I32)[None, :]
+    return (jnp.broadcast_to(j, (B, L)) << 3) | codes.astype(I32)
+
+
+def hpc_compress_packed(
+    codes: jnp.ndarray, lengths: jnp.ndarray, method: str = "pallas"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HPC compaction in packed (pos << 3 | code) form: ONE int32 column —
+    halves kernel VMEM and HBM traffic for the dense (m = L) compaction.
+
+    -> (packed int32[B, L] — garbage beyond count, hpc_len int32[B])."""
+    B, L = codes.shape
+    keep = hpc_keep_mask(codes, lengths)
+    packed = pack_pos_code(codes)
+    (pk,), count = compact(
+        keep, [packed], L, [I32((L << 3) | CODE_PAD)], method=method
+    )
+    return pk, count

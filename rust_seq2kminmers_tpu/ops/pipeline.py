@@ -52,7 +52,7 @@ class PipelineSpec:
     density: float
     mode: str = "regular"  # regular | hpc | simd | hpcsimd
     max_minimizers: Optional[int] = None
-    compaction: str = "bsearch"
+    compaction: str = "auto"
 
     def __post_init__(self):
         if self.mode not in ("regular", "hpc", "simd", "hpcsimd"):
@@ -114,6 +114,14 @@ def kminmer_pipeline(
         raise ValueError(f"padded length {L} must exceed l={l}")
     lengths = lengths.astype(I32)
 
+    use_fused = (
+        spec.compaction in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        and 1 <= l <= 127
+    )
+    if use_fused:
+        return _fused_pipeline(codes, lengths, spec)
+
     if spec.is_hpc:
         hcodes, pos, hlen = hpc_compress(codes, lengths, spec.compaction)
         hash_input, eff_len = hcodes, hlen
@@ -162,6 +170,70 @@ def kminmer_pipeline(
 
     if m_cap < k:
         raise ValueError(f"minimizer capacity {m_cap} < k={k}")
+    (kh_hi, kh_lo), rev = assemble_kminmers(min_hash, k)
+    mk = m_cap - k + 1
+    n_km = jnp.maximum(n_min - (k - 1), 0)
+    w = jnp.arange(mk, dtype=I32)[None, :]
+    km_valid = w < n_km[:, None]
+    zero32 = jnp.zeros((), dtype=U32)
+    return KminmerBatch(
+        hash_hi=jnp.where(km_valid, kh_hi, zero32),
+        hash_lo=jnp.where(km_valid, kh_lo, zero32),
+        start=jnp.where(km_valid, min_start[:, :mk], 0),
+        end=jnp.where(km_valid, min_end[:, k - 1 :], 0),
+        rev=km_valid & rev,
+        n_kminmers=n_km,
+        min_hash=min_hash,
+        min_start=min_start,
+        min_end=min_end,
+        n_minimizers=n_min,
+        n_minimizers_raw=n_raw,
+    )
+
+
+def _fused_pipeline(
+    codes: jnp.ndarray, lengths: jnp.ndarray, spec: PipelineSpec
+) -> KminmerBatch:
+    """TPU fast path: HPC compaction + fused NtHash/select/compact Pallas
+    kernels; only the small [B, M] assembly stage stays in XLA."""
+    from .hpc import hpc_compress_packed, pack_pos_code
+    from .pallas.minimizer_kernel import minimizer_scan
+
+    B, L = codes.shape
+    l, k = spec.l, spec.k
+
+    if spec.is_hpc:
+        packed, eff_len = hpc_compress_packed(codes, lengths, "pallas")
+    else:
+        packed = pack_pos_code(codes)
+        eff_len = lengths
+
+    # Window-start limit per mode (gate: no windows unless orig len > l,
+    # src/lib.rs:97; hpc mode drops the last HPC window).
+    limit = eff_len - l - (1 if spec.mode == "hpc" else 0)
+    limit = jnp.where(lengths > l, limit, -1).astype(I32)
+
+    m_cap = spec.capacity_for(L)
+    if m_cap < k:
+        raise ValueError(f"minimizer capacity {m_cap} < k={k}")
+    start, end, hsh, n_raw = minimizer_scan(
+        packed,
+        limit,
+        l,
+        int(spec.bound),
+        spec.strict_threshold,
+        spec.mode == "hpc",
+        m_cap,
+    )
+    mcap_pad = start.shape[1]  # ceil(m_cap/128)*128
+    h_u32 = jax.lax.bitcast_convert_type(hsh, U32)
+    slot = jnp.arange(mcap_pad, dtype=I32)[None, :]
+    n_min = jnp.minimum(n_raw, m_cap)
+    valid = slot < n_min[:, None]
+    min_start = jnp.where(valid, start, 0)[:, :m_cap]
+    min_end = jnp.where(valid, end, 0)[:, :m_cap]
+    min_hash = jnp.where(valid, h_u32, U32(0))[:, :m_cap]
+
     (kh_hi, kh_lo), rev = assemble_kminmers(min_hash, k)
     mk = m_cap - k + 1
     n_km = jnp.maximum(n_min - (k - 1), 0)
