@@ -36,6 +36,31 @@ SEED_C = SEED_C64 & MASK32
 SEED_G = SEED_G64 & MASK32
 SEED_T = SEED_T64 & MASK32
 
+
+def seed_tables(hash_width: int):
+    """(forward, reverse-complement) seed tables truncated to the configured
+    hash width — the reference's `as H` cast (src/nthash_hpc.rs:32-36)
+    keeps the LOW `hash_width` bits of the 64-bit published seeds.
+
+    Returned dtype: uint16 / uint32 / uint64 indexed by base code.
+    """
+    if hash_width == 64:
+        dt, mask = np.uint64, U64_MAX
+    elif hash_width == 32:
+        dt, mask = np.uint32, MASK32
+    elif hash_width == 16:
+        dt, mask = np.uint16, 0xFFFF
+    else:
+        raise ValueError(f"hash_width must be 16/32/64, got {hash_width}")
+    seeds = [SEED_A64, SEED_C64, SEED_G64, SEED_T64]
+    f = np.array([s & mask for s in seeds] + [0, 1 & mask, 0], dtype=dt)
+    r = np.array(
+        [seeds[3] & mask, seeds[2] & mask, seeds[1] & mask, seeds[0] & mask]
+        + [0, 1 & mask, 0],
+        dtype=dt,
+    )
+    return f, r
+
 # Base codes (order matches the reference SIMD LUT at
 # src/nthash_avx512_32.rs:183-184 which maps A->0 C->1 G->2 T->3 N->4).
 CODE_A = 0
@@ -93,6 +118,15 @@ def encode_bases(seq: bytes | str | np.ndarray) -> np.ndarray:
 def hash_bound_u32(density: float) -> int:
     """Scalar-path density bound: trunc(density * u32::MAX) (src/lib.rs:91)."""
     return min(U32_MAX, int(np.float64(density) * np.float64(U32_MAX)))
+
+
+def hash_bound(density: float, hash_width: int) -> int:
+    """Generic `((density as FH) * (H::MAX as FH)) as H` (src/lib.rs:91) for
+    the configured hash width (FH = f64, the reference's active float type,
+    src/lib.rs:34).  Note for H=u64 `u64::MAX as f64` rounds to 2^64."""
+    hmax = (1 << hash_width) - 1
+    b = int(np.float64(density) * np.float64(hmax))
+    return min(hmax, max(0, b))
 
 
 def hash_bound_simd_u32(density: float) -> int:

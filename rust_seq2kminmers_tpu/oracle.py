@@ -35,8 +35,10 @@ from .constants import (
     SEED_TABLE_F,
     SEED_TABLE_R,
     encode_bases,
+    hash_bound,
     hash_bound_simd_u32,
     hash_bound_u32,
+    seed_tables,
 )
 
 
@@ -98,6 +100,41 @@ def mixhash_u32(x) -> np.ndarray:
     return x
 
 
+def mixhash_u16(x) -> np.ndarray:
+    """Zero-extend u16 to u64 and murmur64-style finalize with *rotates*
+    (the reference uses rotate_left(33), not shifts — src/lib.rs:142-155)."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = x ^ _rol64(x, 33)
+        x = x * np.uint64(0xFF51AFD7ED558CCD)
+        x = x ^ _rol64(x, 33)
+        x = x * np.uint64(0xC4CEB9FE1A85EC53)
+        x = x ^ _rol64(x, 33)
+    return x
+
+
+def mixhash(x, hash_width: int) -> np.ndarray:
+    """MixHash dispatch by hash width (src/lib.rs:137-177): u16 -> murmur,
+    u32 -> xorshift, u64 -> identity."""
+    if hash_width == 16:
+        return mixhash_u16(x)
+    if hash_width == 32:
+        return mixhash_u32(x)
+    if hash_width == 64:
+        return np.asarray(x, dtype=np.uint64)
+    raise ValueError(f"hash_width must be 16/32/64, got {hash_width}")
+
+
+def _rolw(x: np.ndarray, r, w: int) -> np.ndarray:
+    """Rotate-left of width-w values held in uint64 (w in {16, 32, 64})."""
+    if w == 64:
+        return _rol64(x, r)
+    x = np.asarray(x, dtype=np.uint64)
+    r = np.asarray(r, dtype=np.uint64) % np.uint64(w)
+    mask = np.uint64((1 << w) - 1)
+    return (((x << r) | (x >> ((np.uint64(w) - r) % np.uint64(64)))) & mask)
+
+
 def sliding_nthash32(codes: np.ndarray, l: int) -> Tuple[np.ndarray, np.ndarray]:
     """Canonical 32-bit NtHash1 for every window of length l.
 
@@ -124,6 +161,42 @@ def sliding_nthash32(codes: np.ndarray, l: int) -> Tuple[np.ndarray, np.ndarray]
     return fh, rh
 
 
+def sliding_nthash(
+    codes: np.ndarray, l: int, hash_width: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Canonical NtHash1 at the configured hash width for every l-window.
+
+    The reference's compile-time H alternatives (src/lib.rs:30-32) truncate
+    the seed tables by an `as H` cast and run the identical recurrence at
+    that width.  The H=u64 configuration is validated bit-for-bit by the 20
+    golden hashes at reference tests/main.rs:18-39.
+
+    Returns (fh, rh) as uint64 arrays holding width-`hash_width` values.
+    """
+    if hash_width == 32:
+        fh, rh = sliding_nthash32(codes, l)
+        return fh.astype(np.uint64), rh.astype(np.uint64)
+    n = len(codes)
+    if n < l:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z
+    w = hash_width
+    tf, tr = seed_tables(w)
+    hf = tf[codes].astype(np.uint64)
+    hr = tr[codes].astype(np.uint64)
+    j = np.arange(n, dtype=np.int64)
+    a = _rolw(hf, (-j) % w, w)
+    b = _rolw(hr, j % w, w)
+    pa = np.zeros(n + 1, dtype=np.uint64)
+    pb = np.zeros(n + 1, dtype=np.uint64)
+    np.bitwise_xor.accumulate(a, out=pa[1:])
+    np.bitwise_xor.accumulate(b, out=pb[1:])
+    i = np.arange(n - l + 1, dtype=np.int64)
+    fh = _rolw(pa[i + l] ^ pa[i], (l - 1 + i) % w, w)
+    rh = _rolw(pb[i + l] ^ pb[i], (-i) % w, w)
+    return fh, rh
+
+
 def hpc_compress(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Collapse runs of identical codes (any byte), like the fused scalar HPC
     iterator (src/nthash_hpc.rs:149) and the SIMD RLE kernel (src/hpc.rs:88).
@@ -142,14 +215,20 @@ def hpc_compress(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def minimizers(
-    seq, l: int, density: float, mode: HashMode
+    seq, l: int, density: float, mode: HashMode, hash_width: int = 32
 ) -> List[Tuple[int, int, int]]:
     """The L2 stage: density-selected minimizer stream.
 
-    Returns a list of (start, end, hash_u32) with positions in original
+    Returns a list of (start, end, hash) with positions in original
     sequence space, exactly matching the per-mode conventions of the
     reference (see each branch).
+
+    hash_width mirrors the reference's compile-time H (src/lib.rs:30-32).
+    The SIMD modes are u32-only, like the reference's AVX-512 kernels
+    (src/nthash_avx512_32.rs: 32-bit lanes).
     """
+    if hash_width != 32 and mode in (HashMode.Simd, HashMode.HpcSimd):
+        raise ValueError("SIMD modes require hash_width=32")
     codes = encode_bases(seq) if not (
         isinstance(seq, np.ndarray) and seq.dtype == np.uint8 and seq.max(initial=0) < 8
     ) else seq
@@ -161,18 +240,18 @@ def minimizers(
         return out
 
     if mode in (HashMode.Regular, HashMode.Simd):
-        fh, rh = sliding_nthash32(codes, l)
+        fh, rh = sliding_nthash(codes, l, hash_width)
         h = np.minimum(fh, rh)
         if mode is HashMode.Regular:
             # Regular: caller-side filter `hash <= bound` (src/lib.rs:228),
             # f64 bound (src/lib.rs:91); all windows are candidates.
-            bound = hash_bound_u32(density)
-            sel = np.nonzero(h <= bound)[0]
+            bound = hash_bound(density, hash_width)
+            sel = np.nonzero(h <= np.uint64(bound))[0]
         else:
             # Simd: strict `<` against the f32-recomputed bound
             # (src/nthash_avx512_32.rs:48,55,130).
             bound = hash_bound_simd_u32(density)
-            sel = np.nonzero(h < bound)[0]
+            sel = np.nonzero(h < np.uint64(bound))[0]
         for i in sel:
             out.append((int(i), int(i) + l - 1, int(h[i])))
         return out
@@ -181,7 +260,7 @@ def minimizers(
     m = len(hpc_codes)
     if m < l:
         return out
-    fh, rh = sliding_nthash32(hpc_codes, l)
+    fh, rh = sliding_nthash(hpc_codes, l, hash_width)
     h = np.minimum(fh, rh)
     if mode is HashMode.Hpc:
         # Scalar fused HPC iterator: emits window i only if run i+l exists
@@ -191,10 +270,10 @@ def minimizers(
         # end = last original index of run i+l-1, i.e. pos[i+l]-1
         # (src/nthash_hpc.rs:234,281: current_idx_plus_k - 1).
         # Threshold: `<=` f64 bound (src/nthash_hpc.rs:277).
-        bound = hash_bound_u32(density)
+        bound = hash_bound(density, hash_width)
         nwin = m - l  # windows 0 .. m-l-1
         hh = h[:nwin]
-        sel = np.nonzero(hh <= bound)[0]
+        sel = np.nonzero(hh <= np.uint64(bound))[0]
         for i in sel:
             out.append((int(pos[i]), int(pos[i + l]) - 1, int(hh[i])))
     else:  # HpcSimd
@@ -210,17 +289,19 @@ def minimizers(
 
 
 def kminmers(
-    seq, l: int, k: int, density: float, mode: HashMode
+    seq, l: int, k: int, density: float, mode: HashMode, hash_width: int = 32
 ) -> List[KminmerRecord]:
     """Full pipeline: minimizer stream -> mixhash -> k-window canonical
     minimizer-space NtHash -> KminmerRecord stream (src/lib.rs:179-270).
     """
-    mins = minimizers(seq, l, density, mode)
+    mins = minimizers(seq, l, density, mode, hash_width)
     if len(mins) < k:
         return []
     starts = np.array([m[0] for m in mins], dtype=np.int64)
     ends = np.array([m[1] for m in mins], dtype=np.int64)
-    mixed = mixhash_u32(np.array([m[2] for m in mins], dtype=np.uint64))
+    mixed = mixhash(
+        np.array([m[2] for m in mins], dtype=np.uint64), hash_width
+    )
 
     c = len(mixed)
     jj = np.arange(c, dtype=np.int64)
@@ -246,3 +327,19 @@ def kminmers(
         )
         for i in range(c - k + 1)
     ]
+
+
+def nthash1_minimizer_space(kminmer) -> Tuple[int, bool]:
+    """Hash a single k-min-mer (list of already-mixed u64 minimizer hashes),
+    non-rolling — parity with the reference's test oracle
+    `nthash1_minimizer_space` (src/lib.rs:275-288).
+
+    Returns (hash, rev).
+    """
+    m = np.asarray(kminmer, dtype=np.uint64)
+    k = len(m)
+    i = np.arange(k, dtype=np.int64)
+    fhash = np.bitwise_xor.reduce(_rol64(m, (k - 1 - i) % 64))
+    rhash = np.bitwise_xor.reduce(_rol64(m, i % 64))
+    h = fhash if fhash < rhash else rhash
+    return int(h), bool(rhash < fhash)

@@ -29,9 +29,43 @@ GOLDEN_HASHES_U32 = [
 ]
 
 
+# Golden hashes for the same config with the H=u64 compile-time alternative
+# (reference tests/main.rs:18-39, src/lib.rs:32): full 64-bit NtHash1 seeds,
+# identity mixhash (src/lib.rs:171-177), bound = density * (u64::MAX as f64).
+GOLDEN_HASHES_U64 = [
+    6097375827354318,
+    5077268723048817,
+    17093614815813553,
+    13932651659877218,
+    2254626575123847,
+    4725847317728813,
+    10971942364167709,
+    1406844240705087,
+    15284878278949327,
+    13429516156719180,
+    10760699289819902,
+    11244197813995113,
+    6993910349997344,
+    22098843726082404,
+    4944933674400292,
+    14212811059278321,
+    9310664830401458,
+    11232758307960192,
+    9720472733789719,
+    13210101786532125,
+]
+
+
 def test_oracle_goldens(ecoli_seq):
     recs = oracle_kminmers(ecoli_seq, 10, 5, 0.0001, HashMode.Regular)
     assert [r.hash for r in recs] == GOLDEN_HASHES_U32
+
+
+def test_oracle_goldens_u64(ecoli_seq):
+    recs = oracle_kminmers(
+        ecoli_seq, 10, 5, 0.0001, HashMode.Regular, hash_width=64
+    )
+    assert [r.hash for r in recs] == GOLDEN_HASHES_U64
 
 
 def test_jax_pipeline_goldens(ecoli_seq):
