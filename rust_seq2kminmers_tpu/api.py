@@ -61,8 +61,13 @@ def kminmers_list(
     mode=HashMode.Regular,
     backend: str = "jax",
     strict_limits: bool = True,
+    hash_width: int = 32,
 ) -> List[KminmerRecord]:
-    """Compute all k-min-mers of one sequence, in order."""
+    """Compute all k-min-mers of one sequence, in order.
+
+    hash_width selects the minimizer hash precision (the reference's
+    compile-time H, src/lib.rs:30-32): 32 is the reference's active config;
+    64 reproduces its u64 golden values (tests/main.rs:18-39)."""
     mode = _mode_of(mode)
     if strict_limits:
         if mode in (HashMode.Simd, HashMode.HpcSimd) and l > MAX_L_SIMD:
@@ -70,7 +75,7 @@ def kminmers_list(
         if mode is HashMode.Hpc and l > MAX_L_HPC:
             raise KSizeTooBig(f"l={l} exceeds {MAX_L_HPC} for Hpc mode")
     if backend == "oracle":
-        return _oracle_kminmers(seq, l, k, density, mode)
+        return _oracle_kminmers(seq, l, k, density, mode, hash_width)
 
     import jax.numpy as jnp
 
@@ -88,6 +93,7 @@ def kminmers_list(
         density=density,
         mode=mode.value,
         max_minimizers=nwin,  # exact-capacity: never drops minimizers
+        hash_width=hash_width,
     )
     fn = _cached_pipeline(spec)
     out = fn(jnp.asarray(padded), jnp.asarray(np.array([n], dtype=np.int32)))
@@ -127,9 +133,10 @@ class KminmersIterator:
         density: float,
         mode=HashMode.Regular,
         backend: str = "jax",
+        hash_width: int = 32,
     ):
         self._records = kminmers_list(
-            seq, l, k, density, mode, backend=backend
+            seq, l, k, density, mode, backend=backend, hash_width=hash_width
         )
 
     def __iter__(self) -> Iterator[KminmerRecord]:

@@ -31,10 +31,18 @@ def assemble_kminmers(
 
     Entries at windows beyond (count - k) are garbage; callers mask.
     """
-    B, M = min_hash32.shape
+    return assemble_kminmers_mixed(mix64_from_u32(min_hash32), k)
+
+
+def assemble_kminmers_mixed(
+    mixed: Pair,  # (hi, lo) uint32[B, M] already-mixed minimizer hashes
+    k: int,
+) -> Tuple[Pair, jnp.ndarray]:
+    """Assembly over pre-mixed u64 minimizer hashes (MixHash already applied
+    per the configured hash width; identity for H=u64, src/lib.rs:171-177)."""
+    B, M = mixed[0].shape
     if M < k:
         raise ValueError(f"minimizer capacity {M} < k={k}")
-    mixed = mix64_from_u32(min_hash32)  # (hi, lo) pairs
     j = jnp.arange(M, dtype=U32)
     a = rol64(mixed, (U32(64) - (j & U32(63))) & U32(63))
     b = rol64(mixed, j & U32(63))

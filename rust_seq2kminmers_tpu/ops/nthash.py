@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import SEED_TABLE_F, SEED_TABLE_R
-from .u64 import U32, rol32
+from ..constants import SEED_TABLE_F, SEED_TABLE_R, seed_tables
+from .u64 import U32, Pair, rol32, rol64
 
 _SEED_F = jnp.asarray(SEED_TABLE_F)
 _SEED_R = jnp.asarray(SEED_TABLE_R)
@@ -131,3 +131,74 @@ def canonical_nthash32(codes: jnp.ndarray, l: int) -> jnp.ndarray:
     """min(fh, rh) per window (src/nthash_hpc.rs:231)."""
     fh, rh = sliding_nthash32(codes, l)
     return jnp.minimum(fh, rh)
+
+
+def sliding_nthash16(
+    codes: jnp.ndarray, l: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """16-bit NtHash1 (the reference's H=u16 alternative, src/lib.rs:30):
+    identical recurrence with seed tables truncated to the low 16 bits and
+    rotates mod 16.  Values are carried in uint32 lanes (always < 2^16)."""
+    L = codes.shape[-1]
+    if L < l:
+        raise ValueError(f"padded length {L} < l={l}")
+    tf, tr = seed_tables(16)
+
+    # rol16 via shifts in 32-bit lanes: x < 2^16, so at r == 0 the term
+    # x >> 16 contributes nothing (no undefined shift widths).
+    def _rol16(x, r):
+        r = r & U32(15)
+        return ((x << r) | (x >> ((U32(16) - r) & U32(31)))) & U32(0xFFFF)
+
+    j = jnp.arange(L, dtype=U32)
+    hf = _seed_select(tf.astype(np.uint32), codes)
+    hr = _seed_select(tr.astype(np.uint32), codes)
+    a = _rol16(hf, (U32(16) - (j & U32(15))) & U32(15))
+    b = _rol16(hr, j & U32(15))
+    wa = sliding_window_xor(a, l)
+    wb = sliding_window_xor(b, l)
+    nwin = L - l + 1
+    i = jnp.arange(nwin, dtype=U32)
+    fh = _rol16(
+        jax.lax.slice_in_dim(wa, 0, nwin, axis=-1), (U32(l - 1) + i) & U32(15)
+    )
+    rh = _rol16(
+        jax.lax.slice_in_dim(wb, 0, nwin, axis=-1),
+        (U32(16) - (i & U32(15))) & U32(15),
+    )
+    return fh, rh
+
+
+def sliding_nthash64(codes: jnp.ndarray, l: int) -> Tuple[Pair, Pair]:
+    """64-bit NtHash1 (the reference's H=u64 alternative, src/lib.rs:32),
+    emulated as (hi, lo) uint32 pairs — TPU lanes are 32-bit.  Validated
+    bit-for-bit by the 20 u64 golden hashes (reference tests/main.rs:18-39).
+
+    Returns (fh, rh) pairs of uint32[..., L-l+1]."""
+    L = codes.shape[-1]
+    if L < l:
+        raise ValueError(f"padded length {L} < l={l}")
+    tf, tr = seed_tables(64)
+    tf_hi = (tf >> np.uint64(32)).astype(np.uint32)
+    tf_lo = (tf & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    tr_hi = (tr >> np.uint64(32)).astype(np.uint32)
+    tr_lo = (tr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    j = jnp.arange(L, dtype=U32)
+    hf = (_seed_select(tf_hi, codes), _seed_select(tf_lo, codes))
+    hr = (_seed_select(tr_hi, codes), _seed_select(tr_lo, codes))
+    a = rol64(hf, (U32(64) - (j & U32(63))) & U32(63))
+    b = rol64(hr, j & U32(63))
+    wa = (sliding_window_xor(a[0], l), sliding_window_xor(a[1], l))
+    wb = (sliding_window_xor(b[0], l), sliding_window_xor(b[1], l))
+    nwin = L - l + 1
+    i = jnp.arange(nwin, dtype=U32)
+
+    def clip(p: Pair) -> Pair:
+        return (
+            jax.lax.slice_in_dim(p[0], 0, nwin, axis=-1),
+            jax.lax.slice_in_dim(p[1], 0, nwin, axis=-1),
+        )
+
+    fh = rol64(clip(wa), (U32(l - 1) + i) & U32(63))
+    rh = rol64(clip(wb), (U32(64) - (i & U32(63))) & U32(63))
+    return fh, rh

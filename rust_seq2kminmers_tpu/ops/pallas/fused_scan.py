@@ -1,0 +1,423 @@
+"""Fused single-pass Pallas TPU kernel: (optional) HPC compaction +
+sliding canonical NtHash1-32 + density select + slot-local compaction.
+
+This is the production hot path — the TPU-native rebuild of the reference's
+entire L1+L2 layer (fused scalar HPC+NtHash iterator, src/nthash_hpc.rs, and
+the AVX-512 16-lane kernels, src/hpc.rs:44-147 + src/nthash_avx512_32.rs),
+designed for the hardware rather than translated:
+
+  * One HBM read of the raw uint8 base codes — no packed int32 input, no
+    separate HPC materialization pass.
+  * HPC compaction happens in VMEM per block as a stable "move by your
+    rank deficit" permutation, decomposed over the offset's bits: 16 rounds
+    of predicated flat shifts over the [R, 128] register tile (the flat
+    generalization of AVX-512 `compressstoreu`).
+  * Block-to-block state (the reference's ring buffer of the last l chars,
+    src/nthash_hpc.rs:137-174) is a VMEM carry of exactly the last l
+    compacted (position, code) elements + SMEM scalars (global kept count,
+    last raw char).  A window is emitted by the block that holds its last
+    element (its one-past-last element in hpc mode), so every window is
+    emitted exactly once without lookahead halos.
+  * NtHash rotate amounts depend on the *global kept rank* mod 32, carried
+    as a scalar and added to the lane index (the same XOR-scan algebra as
+    src/nthash_avx512_32.rs:367-425, over arbitrarily long reads).
+  * Survivors (density d ~ 1%) are left-packed per 128-lane row and written
+    to NSLOTS fixed slots per row: fixed-shape stores only; a cheap second
+    pass (ops/compact.py) compacts the ~16x smaller slot arrays globally.
+    Per-row slot overflow is detectable (row counts are returned raw).
+
+All u32 semantics are emulated on int32 (logical shifts, sign-bias
+compares), as TPU vector lanes are 32-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...constants import SEED_TABLE_F, SEED_TABLE_R
+
+I32 = jnp.int32
+SIGN = np.int32(-0x80000000)
+LANES = 128
+
+NSLOTS = 16  # survivor slots per 128-lane row (P[Binom(128, d) > 16] ~ 0
+# for the supported d <= 0.05; overflow is detected, not silent)
+
+
+def _shrl(x, s):
+    return jax.lax.shift_right_logical(x, s)
+
+
+def _rol32_lane(x, amounts):
+    """Rotate-left by per-element int32 amounts in [0, 32)."""
+    return (x << amounts) | _shrl(_shrl(x, 31 - amounts), 1)
+
+
+def _ult(a, b):
+    return (a ^ SIGN) < (b ^ SIGN)
+
+
+def _umin(a, b):
+    return jnp.where(_ult(a, b), a, b)
+
+
+def _seed_tree(table: np.ndarray, code):
+    t = [jnp.int32(np.uint32(v).view(np.int32)) for v in table]
+    t = t + [jnp.int32(0)] * (8 - len(t))
+    b0 = (code & 1) != 0
+    b1 = (code & 2) != 0
+    b2 = (code & 4) != 0
+    lo = jnp.where(b1, jnp.where(b0, t[3], t[2]), jnp.where(b0, t[1], t[0]))
+    hi = jnp.where(b1, jnp.where(b0, t[7], t[6]), jnp.where(b0, t[5], t[4]))
+    return jnp.where(b2, hi, lo)
+
+
+def _row_shift_up(x, q: int):
+    if q == 0:
+        return x
+    pad = jnp.zeros((q, LANES), dtype=x.dtype)
+    return jnp.concatenate([x[q:], pad], axis=0)
+
+
+def _flat_shift(x, s: int):
+    """y_flat[i] = x_flat[i + s] over row-major [R, 128]; static 0<=s<128."""
+    if s == 0:
+        return x
+    li = jax.lax.broadcasted_iota(I32, x.shape, dimension=1)
+    a = pltpu.roll(x, LANES - s, 1)
+    b = pltpu.roll(_row_shift_up(x, 1), LANES - s, 1)
+    return jnp.where(li < LANES - s, a, b)
+
+
+def _flat_shift_any(x, s: int):
+    """_flat_shift for any static s >= 0 (row part + lane part)."""
+    q, r = divmod(s, LANES)
+    return _flat_shift(_row_shift_up(x, q), r)
+
+
+def _sliding_window_xor_flat(x, l: int):
+    if l == 1:
+        return x
+    acc = None
+    acc_len = 0
+    w = x
+    m = 1
+    rem = l
+    while rem:
+        if rem & 1:
+            term = _flat_shift_any(w, acc_len)
+            acc = term if acc is None else acc ^ term
+            acc_len += m
+        rem >>= 1
+        if rem:
+            w = w ^ _flat_shift_any(w, m)
+            m <<= 1
+    return acc
+
+
+def _flat_rank_inclusive(m):
+    """Inclusive prefix sum of int32 over the flat [R, 128] layout:
+    lane-level Hillis-Steele (7 rolls) + per-row totals cascaded down the
+    sublane axis (log2(R) rounds on broadcast row sums)."""
+    R = m.shape[0]
+    li = jax.lax.broadcasted_iota(I32, m.shape, dimension=1)
+    ps = m
+    for j in range(7):
+        sh = 1 << j
+        ps = ps + jnp.where(li >= sh, pltpu.roll(ps, sh, 1), 0)
+    row_tot = jax.lax.broadcast_in_dim(
+        ps[:, LANES - 1], m.shape, (0,)
+    )  # [R, 128] row totals
+    ri = jax.lax.broadcasted_iota(I32, m.shape, dimension=0)
+    acc = row_tot
+    sh = 1
+    while sh < R:
+        acc = acc + jnp.where(
+            ri >= sh,
+            pltpu.roll(acc, sh, 0) if False else _rollrows(acc, sh),
+            0,
+        )
+        sh <<= 1
+    # acc now holds inclusive row-total prefix; subtract own row total to
+    # get the exclusive row prefix, then add the in-row inclusive rank.
+    return ps + (acc - row_tot)
+
+
+def _rollrows(x, sh: int):
+    """Cyclic roll down the sublane axis by a static amount."""
+    return pltpu.roll(x, sh, 0)
+
+
+def _move_compact(off, cols, nbits: int):
+    """Stable left-move of elements by their per-element offset `off`
+    (-1 = dropped), decomposed bit-by-bit over flat shifts.  Monotone
+    offsets of a stable compaction guarantee collision-freedom — the flat
+    generalization of the per-row rank/roll compaction."""
+    cols = list(cols)
+    for b in range(nbits):
+        sh = 1 << b
+        off_in = _flat_shift_any(off, sh)
+        valid_in = (off_in >= 0) & ((off_in & sh) != 0)
+        keep = (off >= 0) & ((off & sh) == 0)
+        cols = [
+            jnp.where(valid_in, _flat_shift_any(c, sh), c) for c in cols
+        ]
+        off = jnp.where(valid_in, off_in - sh, jnp.where(keep, off, -1))
+    return cols
+
+
+def _lane_compact_slots(mask, cols):
+    """Per-128-lane-row left-pack (7 static rounds, full-tile ops).
+    Returns (packed cols, inclusive per-row counts [R, 1])."""
+    li = jax.lax.broadcasted_iota(I32, mask.shape, dimension=1)
+    ps = mask.astype(I32)
+    for j in range(7):
+        sh = 1 << j
+        ps = ps + jnp.where(li >= sh, pltpu.roll(ps, sh, 1), 0)
+    cnt = ps[:, LANES - 1 :]
+    off = jnp.where(mask, li - (ps - 1), -1)
+    cols = list(cols)
+    for j in range(7):
+        sh = 1 << j
+        off_in = pltpu.roll(off, LANES - sh, 1)
+        valid_in = (li < LANES - sh) & (off_in >= 0) & ((off_in & sh) != 0)
+        keep = (off >= 0) & ((off & sh) == 0)
+        cols = [
+            jnp.where(valid_in, pltpu.roll(c, LANES - sh, 1), c)
+            for c in cols
+        ]
+        off = jnp.where(valid_in, off_in - sh, jnp.where(keep, off, -1))
+    return cols, cnt
+
+
+def _fused_kernel(
+    limit_ref,  # scalar prefetch: int32[B] window-start limit (rank space)
+    length_ref,  # scalar prefetch: int32[B] raw read length
+    codes_ref,  # (1, br, 128) uint8 main block
+    start_out,  # (1, br+1, NSLOTS)
+    end_out,
+    hash_out,
+    cnt_out,  # (1, br+1, 1) per-ext-row survivor counts
+    pend_ref,  # VMEM scratch (8, 128) int32: row 0 = pending packed
+    ext_ref,  # VMEM scratch (br+2, 128) int32: staging for carry extract
+    sm_ref,  # SMEM scratch (4,): base_rank, last_raw, _, _
+    *,
+    l: int,
+    bound: int,
+    strict: bool,
+    do_hpc: bool,
+    hpc_end: bool,
+    br: int,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        sm_ref[0] = 0  # base rank (global kept count so far)
+        sm_ref[1] = -1  # last raw char (none)
+        pend_ref[0, :] = jnp.zeros((LANES,), dtype=I32)
+
+    base = sm_ref[0]
+    last_raw = sm_ref[1]
+    length = length_ref[b]
+    limit = limit_ref[b]
+
+    main = codes_ref[0].astype(I32)  # [br, 128] codes 0..6
+    ri = jax.lax.broadcasted_iota(I32, main.shape, dimension=0)
+    li = jax.lax.broadcasted_iota(I32, main.shape, dimension=1)
+    absj = t * (br * LANES) + ri * LANES + li
+    packed = (absj << 3) | main
+
+    if do_hpc:
+        prev = _flat_shift_back(main, last_raw)
+        keep = (main != prev) & (absj < length)
+        rank = _flat_rank_inclusive(keep.astype(I32))
+        cnt = rank[br - 1, LANES - 1]
+        off = jnp.where(keep, (ri * LANES + li) - (rank - 1), -1)
+        (comp,) = _move_compact(off, [packed], _nbits(br * LANES))
+    else:
+        comp = packed
+        cnt = jnp.int32(br * LANES)
+
+    ext = jnp.concatenate([pend_ref[0:1, :], comp], axis=0)  # [br+1, 128]
+
+    # ---- hash over the carried + compacted stream ----
+    ecode = ext & 7
+    efl = jax.lax.broadcasted_iota(I32, ext.shape, dimension=0) * LANES + (
+        jax.lax.broadcasted_iota(I32, ext.shape, dimension=1)
+    )
+    r_glob = base - LANES + efl  # global kept rank of each ext element
+    rot_f = (-r_glob) & 31
+    a_f = _rol32_lane(_seed_tree(SEED_TABLE_F, ecode), rot_f)
+    a_r = _rol32_lane(_seed_tree(SEED_TABLE_R, ecode), r_glob & 31)
+    wf = _sliding_window_xor_flat(a_f, l)
+    wr = _sliding_window_xor_flat(a_r, l)
+    fh = _rol32_lane(wf, (jnp.int32(l - 1) + r_glob) & 31)
+    rh = _rol32_lane(wr, rot_f)
+    h = _umin(fh, rh)
+
+    pos = _shrl(ext, 3)
+    if hpc_end:
+        end_col = _flat_shift_any(pos, l) - 1
+    else:
+        end_col = _flat_shift_any(pos, l - 1)
+
+    # ---- emission mask ----
+    bnd = jnp.int32(np.uint32(bound).view(np.int32))
+    passed = _ult(h, bnd) if strict else ~_ult(bnd, h)
+    f_lo = LANES - l if do_hpc else LANES - l + 1
+    f_hi = LANES + cnt - l - (1 if do_hpc else 0)
+    mask = (
+        passed
+        & (efl >= f_lo)
+        & (efl <= f_hi)
+        & (r_glob >= 0)
+        & (r_glob <= limit)
+    )
+
+    # ---- per-row slot compaction + fixed-shape writes ----
+    (ps_, pe_, ph_), rc = _lane_compact_slots(mask, [pos, end_col, h])
+    start_out[0] = ps_[:, :NSLOTS]
+    end_out[0] = pe_[:, :NSLOTS]
+    hash_out[0] = ph_[:, :NSLOTS]
+    cnt_out[0] = rc
+
+    # ---- carry update ----
+    # new pending = last l elements of the ext stream, right-aligned into
+    # one 128-lane row: flat source positions [128+cnt-l, 128+cnt).
+    ext_ref[: br + 1, :] = ext
+    ext_ref[br + 1, :] = jnp.zeros((LANES,), dtype=I32)
+    src0 = LANES + cnt - l  # first source flat position (>= 128-l+... >= 1)
+    r0 = src0 // LANES
+    lane0 = src0 % LANES
+    two = ext_ref[pl.ds(r0, 2), :]  # [2, 128]
+    # want out[128-l+q] = two_flat[lane0+q]; rotate lanes left by
+    # (lane0 - (128-l)) mod 128 then pick row 0/1 per lane.
+    s = (lane0 - (LANES - l)) % LANES
+    rot = pltpu.roll(two, (LANES - s) % LANES, 1)
+    li1 = jax.lax.broadcasted_iota(I32, (1, LANES), dimension=1)
+    # lane d takes source lane0 + (d - (128-l)); crosses into row 1 when
+    # lane0 + d - (128-l) >= 128, i.e. d >= 128 - s (for s > 0).
+    takes_row1 = li1 >= ((LANES - s) % LANES + jnp.where(s == 0, LANES, 0))
+    pend_ref[0:1, :] = jnp.where(takes_row1, rot[1:2], rot[0:1])
+
+    sm_ref[0] = base + cnt
+    if do_hpc:
+        # last raw char of the block (for the run-spanning-block boundary)
+        sm_ref[1] = main[br - 1, LANES - 1]
+
+
+def _flat_shift_back(x, first_fill):
+    """y_flat[i] = x_flat[i-1]; y_flat[0] = first_fill (scalar)."""
+    li = jax.lax.broadcasted_iota(I32, x.shape, dimension=1)
+    ri = jax.lax.broadcasted_iota(I32, x.shape, dimension=0)
+    a = pltpu.roll(x, 1, 1)  # lane roll right by 1
+    b = pltpu.roll(_rollrows(x, 1), 1, 1)
+    y = jnp.where(li >= 1, a, b)
+    return jnp.where((li == 0) & (ri == 0), first_fill, y)
+
+
+def _nbits(n: int) -> int:
+    return int(n - 1).bit_length()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "l",
+        "bound",
+        "strict",
+        "do_hpc",
+        "hpc_end",
+        "block_rows",
+        "interpret",
+    ),
+)
+def fused_minimizer_scan(
+    codes: jnp.ndarray,  # uint8[B, L] base codes (CODE_PAD beyond lengths)
+    lengths: jnp.ndarray,  # int32[B]
+    limit: jnp.ndarray,  # int32[B] max valid window-start rank (inclusive)
+    l: int,
+    bound: int,
+    strict: bool,
+    do_hpc: bool,
+    hpc_end: bool,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused pass -> per-row survivor slots.
+
+    Returns (start int32[B, SR, NSLOTS], end ..., hash ... (u32 bit
+    patterns), row_counts int32[B, SR]) with SR = nt * (block_rows + 1).
+    Slot rows are in sequence order; survivors of a row are its first
+    min(row_count, NSLOTS) slots.  row_count > NSLOTS means slot overflow
+    (detect with .max()); counts are exact regardless.
+    """
+    if not (2 <= l <= 127):
+        raise ValueError(f"l={l} must be in [2, 127] for the fused kernel")
+    B, L = codes.shape
+    if L % (block_rows * LANES):
+        pad = -(-L // (block_rows * LANES)) * (block_rows * LANES) - L
+        from ...constants import CODE_PAD
+
+        codes = jnp.pad(codes, ((0, 0), (0, pad)), constant_values=CODE_PAD)
+        L += pad
+    rows = L // LANES
+    br = block_rows
+    nt = rows // br
+    sr = br + 1
+
+    main_spec = pl.BlockSpec(
+        (1, br, LANES), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
+    )
+    slot_spec = pl.BlockSpec(
+        (1, sr, NSLOTS), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
+    )
+    cnt_spec = pl.BlockSpec(
+        (1, sr, 1), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _fused_kernel,
+        l=l,
+        bound=bound,
+        strict=strict,
+        do_hpc=do_hpc,
+        hpc_end=hpc_end,
+        br=br,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nt),
+        in_specs=[main_spec],
+        out_specs=[slot_spec, slot_spec, slot_spec, cnt_spec],
+        scratch_shapes=[
+            pltpu.VMEM((8, LANES), I32),
+            pltpu.VMEM((br + 2, LANES), I32),
+            pltpu.SMEM((4,), I32),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nt * sr, NSLOTS), I32),
+            jax.ShapeDtypeStruct((B, nt * sr, NSLOTS), I32),
+            jax.ShapeDtypeStruct((B, nt * sr, NSLOTS), I32),
+            jax.ShapeDtypeStruct((B, nt * sr, 1), I32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+    )(limit.astype(I32), lengths.astype(I32), codes.reshape(B, rows, LANES))
+    start, end, hsh, cnts = outs
+    return start, end, hsh, cnts[..., 0]

@@ -29,12 +29,17 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..constants import CODE_PAD, hash_bound_simd_u32, hash_bound_u32
-from .assemble import assemble_kminmers
+from ..constants import (
+    CODE_PAD,
+    hash_bound,
+    hash_bound_simd_u32,
+    hash_bound_u32,
+)
+from .assemble import assemble_kminmers, assemble_kminmers_mixed
 from .compact import I32, compact
 from .hpc import hpc_compress
-from .nthash import sliding_nthash32
-from .u64 import U32
+from .nthash import sliding_nthash16, sliding_nthash32, sliding_nthash64
+from .u64 import U32, lt2, mix64_murmur_from_u16
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,12 +58,20 @@ class PipelineSpec:
     mode: str = "regular"  # regular | hpc | simd | hpcsimd
     max_minimizers: Optional[int] = None
     compaction: str = "auto"
+    # Minimizer hash precision: the reference's compile-time H (u16/u32/u64,
+    # src/lib.rs:30-32) as runtime config.  SIMD modes are u32-only, like
+    # the reference's 32-bit AVX-512 kernels.
+    hash_width: int = 32
 
     def __post_init__(self):
         if self.mode not in ("regular", "hpc", "simd", "hpcsimd"):
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.l < 1 or self.k < 1:
             raise ValueError("l and k must be >= 1")
+        if self.hash_width not in (16, 32, 64):
+            raise ValueError(f"hash_width must be 16/32/64, got {self.hash_width}")
+        if self.hash_width != 32 and self.mode in ("simd", "hpcsimd"):
+            raise ValueError("SIMD modes require hash_width=32")
 
     @property
     def strict_threshold(self) -> bool:
@@ -69,6 +82,8 @@ class PipelineSpec:
     def bound(self) -> int:
         if self.strict_threshold:
             return hash_bound_simd_u32(self.density)
+        if self.hash_width != 32:
+            return hash_bound(self.density, self.hash_width)
         return hash_bound_u32(self.density)
 
     @property
@@ -97,7 +112,8 @@ class KminmerBatch(NamedTuple):
     n_kminmers: jnp.ndarray  # int32[B]
     # The intermediate minimizer stream (exposed like the reference's L2
     # iterators are public API):
-    min_hash: jnp.ndarray  # uint32[B, M]
+    min_hash: jnp.ndarray  # uint32[B, M] (low 32 bits when hash_width=64)
+    min_hash_hi: jnp.ndarray  # uint32[B, M] (zeros unless hash_width=64)
     min_start: jnp.ndarray  # int32[B, M]
     min_end: jnp.ndarray  # int32[B, M]
     n_minimizers: jnp.ndarray  # int32[B] (clipped to M)
@@ -118,6 +134,7 @@ def kminmer_pipeline(
         spec.compaction in ("auto", "pallas")
         and jax.default_backend() == "tpu"
         and 1 <= l <= 127
+        and spec.hash_width == 32
     )
     if use_fused:
         return _fused_pipeline(codes, lengths, spec)
@@ -128,8 +145,20 @@ def kminmer_pipeline(
     else:
         hash_input, eff_len = codes, lengths
 
-    fh, rh = sliding_nthash32(hash_input, l)
-    h = jnp.minimum(fh, rh)
+    if spec.hash_width == 64:
+        fh64, rh64 = sliding_nthash64(hash_input, l)
+        from .u64 import min2
+
+        h_hi, h_lo = min2(fh64, rh64)
+        h = h_lo  # compared as a pair below
+    elif spec.hash_width == 16:
+        fh, rh = sliding_nthash16(hash_input, l)
+        h = jnp.minimum(fh, rh)
+        h_hi = None
+    else:
+        fh, rh = sliding_nthash32(hash_input, l)
+        h = jnp.minimum(fh, rh)
+        h_hi = None
     nwin = L - l + 1
     i = jnp.arange(nwin, dtype=I32)[None, :]
 
@@ -140,8 +169,18 @@ def kminmer_pipeline(
     else:
         valid = i <= (eff_len - l)[:, None]
 
-    bound = jnp.asarray(spec.bound, dtype=U32)
-    passed = (h < bound) if spec.strict_threshold else (h <= bound)
+    if spec.hash_width == 64:
+        b_hi = jnp.asarray((spec.bound >> 32) & 0xFFFFFFFF, dtype=U32)
+        b_lo = jnp.asarray(spec.bound & 0xFFFFFFFF, dtype=U32)
+        bound_pair = (
+            jnp.broadcast_to(b_hi, h_hi.shape),
+            jnp.broadcast_to(b_lo, h.shape),
+        )
+        # scalar paths use `<=` (src/nthash_hpc.rs:277, src/lib.rs:228)
+        passed = ~lt2(bound_pair, (h_hi, h))
+    else:
+        bound = jnp.asarray(spec.bound, dtype=U32)
+        passed = (h < bound) if spec.strict_threshold else (h <= bound)
     sel = gate & valid & passed
 
     if spec.is_hpc:
@@ -159,18 +198,33 @@ def kminmer_pipeline(
         end = start + (l - 1)
 
     m_cap = spec.capacity_for(L)
-    (min_start, min_end, min_hash), n_raw = compact(
-        sel,
-        [start, end, h],
-        m_cap,
-        [I32(0), I32(0), U32(0)],
-        method=spec.compaction,
+    if m_cap < k:
+        raise ValueError(f"minimizer capacity {m_cap} < k={k}")
+    cols = [start, end, h]
+    fills = [I32(0), I32(0), U32(0)]
+    if spec.hash_width == 64:
+        cols.append(h_hi)
+        fills.append(U32(0))
+    compacted, n_raw = compact(sel, cols, m_cap, fills, method=spec.compaction)
+    min_start, min_end, min_hash = compacted[:3]
+    min_hash_hi = (
+        compacted[3]
+        if spec.hash_width == 64
+        else jnp.zeros_like(min_hash)
     )
     n_min = jnp.minimum(n_raw, m_cap)
 
-    if m_cap < k:
-        raise ValueError(f"minimizer capacity {m_cap} < k={k}")
-    (kh_hi, kh_lo), rev = assemble_kminmers(min_hash, k)
+    if spec.hash_width == 64:
+        # MixHash for u64 is the identity (src/lib.rs:171-177).
+        (kh_hi, kh_lo), rev = assemble_kminmers_mixed(
+            (min_hash_hi, min_hash), k
+        )
+    elif spec.hash_width == 16:
+        (kh_hi, kh_lo), rev = assemble_kminmers_mixed(
+            mix64_murmur_from_u16(min_hash), k
+        )
+    else:
+        (kh_hi, kh_lo), rev = assemble_kminmers(min_hash, k)
     mk = m_cap - k + 1
     n_km = jnp.maximum(n_min - (k - 1), 0)
     w = jnp.arange(mk, dtype=I32)[None, :]
@@ -184,6 +238,7 @@ def kminmer_pipeline(
         rev=km_valid & rev,
         n_kminmers=n_km,
         min_hash=min_hash,
+        min_hash_hi=min_hash_hi,
         min_start=min_start,
         min_end=min_end,
         n_minimizers=n_min,
@@ -248,6 +303,7 @@ def _fused_pipeline(
         rev=km_valid & rev,
         n_kminmers=n_km,
         min_hash=min_hash,
+        min_hash_hi=jnp.zeros_like(min_hash),
         min_start=min_start,
         min_end=min_end,
         n_minimizers=n_min,

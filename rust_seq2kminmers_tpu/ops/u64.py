@@ -95,6 +95,62 @@ def shr2(a: Pair, s: int) -> Pair:
     return jnp.zeros_like(hi), hi >> U32(s - 32)
 
 
+def add2(a: Pair, b: Pair) -> Pair:
+    """u64 addition (mod 2^64) on pairs."""
+    lo = a[1] + b[1]
+    carry = (lo < a[1]).astype(U32)  # unsigned wrap detect
+    return a[0] + b[0] + carry, lo
+
+
+def _mulhi32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """High 32 bits of the unsigned 32x32 product (16-bit split schoolbook)."""
+    a, b = _u32(a), _u32(b)
+    al = a & U32(0xFFFF)
+    ah = a >> U32(16)
+    bl = b & U32(0xFFFF)
+    bh = b >> U32(16)
+    t = al * bl
+    mid1 = ah * bl
+    mid2 = al * bh
+    carry = ((t >> U32(16)) + (mid1 & U32(0xFFFF)) + (mid2 & U32(0xFFFF))) >> U32(16)
+    return ah * bh + (mid1 >> U32(16)) + (mid2 >> U32(16)) + carry
+
+
+def mul2(a: Pair, b: Pair) -> Pair:
+    """u64 multiplication (mod 2^64) on pairs."""
+    lo = a[1] * b[1]
+    hi = _mulhi32(a[1], b[1]) + a[1] * b[0] + a[0] * b[1]
+    return hi, lo
+
+
+def const2(v: int) -> Pair:
+    """Scalar u64 constant as a pair of uint32 scalars."""
+    import numpy as np
+
+    return (
+        jnp.asarray(np.uint32((v >> 32) & 0xFFFFFFFF), dtype=U32),
+        jnp.asarray(np.uint32(v & 0xFFFFFFFF), dtype=U32),
+    )
+
+
+def mix64_murmur_from_u16(x: jnp.ndarray) -> Pair:
+    """Murmur64-style MixHash of a zero-extended u16 (src/lib.rs:142-155).
+
+    Note the reference uses rotate_left(33), not right-shifts:
+        x ^= rol64(x, 33); x *= 0xff51afd7ed558ccd;
+        x ^= rol64(x, 33); x *= 0xc4ceb9fe1a85ec53; x ^= rol64(x, 33)
+    """
+    v = from_u32(_u32(x) & U32(0xFFFF))
+    c1 = const2(0xFF51AFD7ED558CCD)
+    c2 = const2(0xC4CEB9FE1A85EC53)
+    v = xor2(v, rol64(v, U32(33)))
+    v = mul2(v, (jnp.broadcast_to(c1[0], v[0].shape), jnp.broadcast_to(c1[1], v[1].shape)))
+    v = xor2(v, rol64(v, U32(33)))
+    v = mul2(v, (jnp.broadcast_to(c2[0], v[0].shape), jnp.broadcast_to(c2[1], v[1].shape)))
+    v = xor2(v, rol64(v, U32(33)))
+    return v
+
+
 def mix64_from_u32(x: jnp.ndarray) -> Pair:
     """Xorshift mix of a zero-extended u32 (reference src/lib.rs:157-169):
     x ^= x << 13; x ^= x >> 7; x ^= x << 17 — in u64 arithmetic.

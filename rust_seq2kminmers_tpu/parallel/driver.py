@@ -46,7 +46,7 @@ def make_dp_pipeline(spec: PipelineSpec, mesh: Mesh):
         mesh=mesh,
         in_specs=(P("data", None), P("data")),
         out_specs=ShardedKminmers(
-            batch=KminmerBatch(*([P("data", None)] * 5 + [P("data")] + [P("data", None)] * 3 + [P("data")] * 2)),
+            batch=KminmerBatch(*([P("data", None)] * 5 + [P("data")] + [P("data", None)] * 4 + [P("data")] * 2)),
             global_offset=P("data"),
             total=P(),
         ),

@@ -90,6 +90,33 @@ def test_jax_matches_oracle_all_modes(ecoli_seq, mode):
         )
 
 
+def test_jax_pipeline_goldens_u64(ecoli_seq):
+    recs = kminmers_list(
+        ecoli_seq, 10, 5, 0.0001, HashMode.Regular, hash_width=64
+    )
+    assert [r.hash for r in recs] == GOLDEN_HASHES_U64
+
+
+@pytest.mark.parametrize("mode", [HashMode.Regular, HashMode.Hpc])
+@pytest.mark.parametrize("width", [16, 64])
+def test_jax_matches_oracle_hash_widths(ecoli_seq, mode, width):
+    """The u16/u64 JAX paths (emulated 64-bit lanes / murmur mix) match the
+    numpy oracle record-for-record."""
+    seq = ecoli_seq[:4096]
+    d = 0.03 if width == 16 else 0.003
+    got = kminmers_list(seq, 11, 3, d, mode, hash_width=width)
+    ref = oracle_kminmers(seq, 11, 3, d, mode, hash_width=width)
+    assert len(got) == len(ref) and len(ref) > 0
+    for g, r in zip(got, ref):
+        assert (g.hash, g.start, g.end, g.offset, g.rev) == (
+            r.hash,
+            r.start,
+            r.end,
+            r.offset,
+            r.rev,
+        )
+
+
 def test_iterator_facade(ecoli_seq):
     it = KminmersIterator(ecoli_seq, 10, 5, 0.0001, "regular")
     hashes = [km.get_hash() for km in it]
