@@ -4,17 +4,19 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Headline metric mirrors the reference's criterion setup (throughput in
 bytes/s over the full KminmersIterator pipeline, reference
-benches/bench.rs:95-124) but at production batch sizes.  vs_baseline is
-measured against the reference's published best single-thread number for
-the same HpcSimd pipeline stage chain (~1 GB/s SIMD NtHash bound,
-README.md:23 — the full-pipeline bound; HPC-alone runs at ~4 GB/s).
+benches/bench.rs:95-124) but at production batch sizes: 32 reads x 1 Mbp,
+l=31, k=5, d=0.01, hpcsimd (the reference's fastest mode).  vs_baseline is
+against the reference's published best single-thread number for the same
+full pipeline (~1 GB/s SIMD NtHash bound, README.md:23; HPC alone is
+~4 GB/s there).
 
-Timing methodology: on this environment `jax.block_until_ready` through the
-axon tunnel can return before device execution finishes, so every timed
-iteration host-materializes a checksum that depends on all pipeline outputs
-(int() forces a real device->host transfer of the finished value).  Inputs
-rotate across distinct device buffers so no dispatch-level caching can
-short-circuit the work.
+Timing methodology: the axon tunnel to the chip has ~30 ms fixed RTT per
+host sync and `block_until_ready` can return early, so per-step host
+timing measures the tunnel, not the chip.  Instead each measured unit is a
+jitted lax.scan of STEPS full pipeline invocations whose inputs are
+generated on-device (distinct per step via the PRNG) and whose outputs all
+feed a checksum that is materialized on host once per unit — one RTT
+amortized over STEPS steps of real, non-cacheable device work.
 """
 
 import json
@@ -42,50 +44,55 @@ def main():
         kminmer_pipeline,
     )
 
-    # Production-shaped workload: batch of long reads (HiFi-like),
-    # l=31, k=5, d=0.01 (reference src/main.rs:53-60 config).
     B, L = 32, 1 << 20  # 32 reads x 1 Mbp = 32 MB per step
-    rng = np.random.default_rng(0)
+    STEPS = 16
     lengths = jnp.asarray(np.full(B, L, dtype=np.int32))
     spec = PipelineSpec(
         l=31, k=5, density=0.01, mode="hpcsimd",
         max_minimizers=int(L * 0.02) + 256,
     )
 
-    @jax.jit
-    def step(c, n):
-        out = kminmer_pipeline(c, n, spec)
-        # Checksum over every output so nothing can be dead-code-eliminated
-        # and the host wait covers the full computation.
-        chk = (
+    def gen(key):
+        bits = jax.random.bits(key, (B, L // 4), jnp.uint32)
+        c = jnp.stack([(bits >> (2 * i)) & 3 for i in range(4)], axis=-1)
+        return c.reshape(B, L).astype(jnp.uint8)
+
+    def chk_of(out):
+        return (
             out.n_kminmers.sum()
-            + out.hash_lo.astype(jnp.uint32).sum().astype(jnp.int32)
-            + out.hash_hi.astype(jnp.uint32).sum().astype(jnp.int32)
-            + out.min_hash.sum().astype(jnp.int32)
+            + jax.lax.bitcast_convert_type(out.hash_lo, jnp.int32).sum()
+            + jax.lax.bitcast_convert_type(out.hash_hi, jnp.int32).sum()
+            + jax.lax.bitcast_convert_type(out.min_hash, jnp.int32).sum()
             + out.start.sum()
             + out.end.sum()
         )
-        return chk, out.n_kminmers
 
-    bufs = [
-        jnp.asarray(rng.integers(0, 4, size=(B, L)).astype(np.uint8))
-        for _ in range(4)
-    ]
+    @jax.jit
+    def unit(key):
+        def body(carry, _):
+            key, acc, nk = carry
+            key, sub = jax.random.split(key)
+            out = kminmer_pipeline(gen(sub), lengths, spec)
+            return (key, acc + chk_of(out), nk + out.n_kminmers.sum()), None
+
+        (key, acc, nk), _ = jax.lax.scan(
+            body, (key, jnp.int32(0), jnp.int32(0)), None, length=STEPS
+        )
+        return acc, nk
 
     # warmup / compile
-    chk, nk = step(bufs[0], lengths)
-    int(chk)
+    acc, nk = unit(jax.random.PRNGKey(0))
+    int(acc)
 
-    iters = 10
+    reps = 3
     times = []
-    total_kminmers = 0
-    for i in range(iters):
+    for i in range(reps):
         t0 = time.perf_counter()
-        chk, nk = step(bufs[i % len(bufs)], lengths)
-        int(chk)  # host-materialize: the only trustworthy sync point
+        acc, nk = unit(jax.random.PRNGKey(i))
+        int(acc)  # single host sync per unit
         times.append(time.perf_counter() - t0)
-    total_kminmers = int(np.asarray(nk).sum())
-    dt = float(np.median(times))
+    total_kminmers = int(np.asarray(nk))
+    dt = float(np.median(times)) / STEPS
 
     nbytes = B * L
     gbps = nbytes / dt / 1e9
@@ -100,8 +107,9 @@ def main():
             "k": 5,
             "density": 0.01,
             "batch": [B, L],
+            "steps_per_sync": STEPS,
             "step_ms": round(dt * 1e3, 2),
-            "kminmers_per_s": int(total_kminmers / dt),
+            "kminmers_per_s": int(total_kminmers / (dt * STEPS)),
             "device": str(jax.devices()[0]),
         },
     }

@@ -1,0 +1,164 @@
+"""Per-stage benchmark suite mirroring the reference's criterion cases
+(reference benches/bench.rs:33-147): HPC string kernels, the sliding-hash
+stage alone, and the full KminmersIterator pipeline in all four modes.
+
+Run: python -m rust_seq2kminmers_tpu.bench_suite [--size BYTES] [--steps N]
+Prints one JSON line per case: {"case", "value", "unit", ...}.
+
+Device cases use the amortized methodology (see repo-root bench.py): a
+jitted lax.scan of N pipeline steps over on-device generated inputs, one
+host sync per unit — the axon tunnel's ~30 ms RTT and any eager caching
+never touch the measurement.  Host (numpy) cases mirror the reference's
+single-thread string kernels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _bench_host(fn, data, reps=5):
+    fn(data)  # warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(data)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def host_cases(size: int):
+    """String-level HPC kernels (reference bench.rs:36-49) on random ACGT."""
+    from .hpc_strings import encode_rle, encode_rle_simd, hpc
+
+    rng = np.random.default_rng(1)
+    seq = "".join(rng.choice(list("ACGT"), size=size))
+    for name, fn in [
+        ("hpc_plain", hpc),
+        ("hpc_encode_rle", encode_rle),
+        ("hpc_encode_rle_simd", encode_rle_simd),
+    ]:
+        dt = _bench_host(fn, seq)
+        yield {
+            "case": name,
+            "value": round(size / dt / 1e9, 3),
+            "unit": "GB/s",
+            "backend": "host-numpy",
+        }
+
+
+def device_cases(size: int, steps: int):
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.nthash import sliding_nthash32
+    from .ops.pipeline import PipelineSpec, kminmer_pipeline
+
+    B = max(1, min(32, size // (1 << 20)))
+    L = size // B
+    L = max(1 << 14, (L // 1024) * 1024)
+    lengths = jnp.asarray(np.full(B, L, dtype=np.int32))
+    nbytes = B * L
+
+    def gen(key):
+        bits = jax.random.bits(key, (B, L // 4), jnp.uint32)
+        c = jnp.stack([(bits >> (2 * i)) & 3 for i in range(4)], axis=-1)
+        return c.reshape(B, L).astype(jnp.uint8)
+
+    def unit_of(step_fn):
+        @jax.jit
+        def unit(key):
+            def body(carry, _):
+                key, acc = carry
+                key, sub = jax.random.split(key)
+                acc = acc + step_fn(sub)
+                return (key, acc), None
+
+            (key, acc), _ = jax.lax.scan(
+                body, (key, jnp.int32(0)), None, length=steps
+            )
+            return acc
+
+        return unit
+
+    def run(name, step_fn, extra=None):
+        unit = unit_of(step_fn)
+        acc = unit(jax.random.PRNGKey(0))
+        int(acc)  # compile + settle
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            acc = unit(jax.random.PRNGKey(i))
+            int(acc)
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts)) / steps
+        rec = {
+            "case": name,
+            "value": round(nbytes / dt / 1e9, 3),
+            "unit": "GB/s/chip",
+            "step_ms": round(dt * 1e3, 3),
+            "batch": [B, L],
+            "backend": str(jax.devices()[0]),
+        }
+        if extra:
+            rec.update(extra)
+        return rec
+
+    # stage: dense canonical sliding hash alone (reference bench.rs:51-73)
+    def s_nthash(key):
+        fh, rh = sliding_nthash32(gen(key), 31)
+        h = jnp.minimum(fh, rh)
+        return jax.lax.bitcast_convert_type(h, jnp.int32).sum()
+
+    yield run("nthash32_dense_l31", s_nthash)
+
+    # full pipeline, all four modes (reference bench.rs:95-124)
+    m_cap = int(L * 0.02) + 256
+    for mode in ["regular", "simd", "hpc", "hpcsimd"]:
+        spec = PipelineSpec(
+            l=31, k=5, density=0.01, mode=mode, max_minimizers=m_cap
+        )
+
+        def s_pipe(key, spec=spec):
+            out = kminmer_pipeline(gen(key), lengths, spec)
+            return (
+                out.n_kminmers.sum()
+                + jax.lax.bitcast_convert_type(out.hash_lo, jnp.int32).sum()
+                + out.start.sum()
+            )
+
+        yield run(
+            f"kminmers_{mode}_l31_k5_d0.01",
+            s_pipe,
+            {"l": 31, "k": 5, "density": 0.01},
+        )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=32 << 20)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--host-size", type=int, default=10_000)
+    ap.add_argument("--skip-device", action="store_true")
+    args = ap.parse_args(argv)
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    for rec in host_cases(args.host_size):
+        print(json.dumps(rec), flush=True)
+    if not args.skip_device:
+        for rec in device_cases(args.size, args.steps):
+            print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

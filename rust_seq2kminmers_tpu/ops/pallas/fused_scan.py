@@ -47,8 +47,13 @@ I32 = jnp.int32
 SIGN = np.int32(-0x80000000)
 LANES = 128
 
-NSLOTS = 16  # survivor slots per 128-lane row (P[Binom(128, d) > 16] ~ 0
-# for the supported d <= 0.05; overflow is detected, not silent)
+def slots_for_density(density: float) -> int:
+    """Survivor slots per 128-lane row: mean 128*d plus a generous tail
+    margin (P[Binom(128, d) > slots] ~ 0); overflow is still detected via
+    the returned row counts, never silent."""
+    mean = 128.0 * max(density, 0.0)
+    n = int(mean * 4 + 6 * (mean ** 0.5) + 8)
+    return int(min(128, max(8, -(-n // 8) * 8)))  # multiple of 8 lanes
 
 
 def _shrl(x, s):
@@ -139,11 +144,7 @@ def _flat_rank_inclusive(m):
     acc = row_tot
     sh = 1
     while sh < R:
-        acc = acc + jnp.where(
-            ri >= sh,
-            pltpu.roll(acc, sh, 0) if False else _rollrows(acc, sh),
-            0,
-        )
+        acc = acc + jnp.where(ri >= sh, _rollrows(acc, sh), 0)
         sh <<= 1
     # acc now holds inclusive row-total prefix; subtract own row total to
     # get the exclusive row prefix, then add the in-row inclusive rank.
@@ -173,16 +174,17 @@ def _move_compact(off, cols, nbits: int):
     return cols
 
 
-def _lane_compact_slots(mask, cols):
+def _lane_compact_slots(mask_i32, cols):
     """Per-128-lane-row left-pack (7 static rounds, full-tile ops).
+    mask_i32: int32 0/1 (bool vectors don't concat/relayout on Mosaic).
     Returns (packed cols, inclusive per-row counts [R, 1])."""
-    li = jax.lax.broadcasted_iota(I32, mask.shape, dimension=1)
-    ps = mask.astype(I32)
+    li = jax.lax.broadcasted_iota(I32, mask_i32.shape, dimension=1)
+    ps = mask_i32
     for j in range(7):
         sh = 1 << j
         ps = ps + jnp.where(li >= sh, pltpu.roll(ps, sh, 1), 0)
     cnt = ps[:, LANES - 1 :]
-    off = jnp.where(mask, li - (ps - 1), -1)
+    off = jnp.where(mask_i32 != 0, li - (ps - 1), -1)
     cols = list(cols)
     for j in range(7):
         sh = 1 << j
@@ -215,6 +217,7 @@ def _fused_kernel(
     do_hpc: bool,
     hpc_end: bool,
     br: int,
+    nslots: int,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -239,8 +242,10 @@ def _fused_kernel(
     if do_hpc:
         prev = _flat_shift_back(main, last_raw)
         keep = (main != prev) & (absj < length)
-        rank = _flat_rank_inclusive(keep.astype(I32))
-        cnt = rank[br - 1, LANES - 1]
+        keep_i = keep.astype(I32)
+        rank = _flat_rank_inclusive(keep_i)
+        cnt = jnp.sum(keep_i)  # scalar reduction (vector->scalar extract
+        # of rank[-1, -1] is not lowerable on Mosaic)
         off = jnp.where(keep, (ri * LANES + li) - (rank - 1), -1)
         (comp,) = _move_compact(off, [packed], _nbits(br * LANES))
     else:
@@ -273,8 +278,11 @@ def _fused_kernel(
     # ---- emission mask ----
     bnd = jnp.int32(np.uint32(bound).view(np.int32))
     passed = _ult(h, bnd) if strict else ~_ult(bnd, h)
-    f_lo = LANES - l if do_hpc else LANES - l + 1
-    f_hi = LANES + cnt - l - (1 if do_hpc else 0)
+    # A window is emitted by the block holding its LAST element, or its
+    # ONE-PAST-LAST element when the end convention needs lookahead
+    # (hpc_end: end = pos[f+l]-1, the scalar HPC iterator's convention).
+    f_lo = LANES - l if hpc_end else LANES - l + 1
+    f_hi = LANES + cnt - l - (1 if hpc_end else 0)
     mask = (
         passed
         & (efl >= f_lo)
@@ -284,35 +292,47 @@ def _fused_kernel(
     )
 
     # ---- per-row slot compaction + fixed-shape writes ----
-    (ps_, pe_, ph_), rc = _lane_compact_slots(mask, [pos, end_col, h])
-    start_out[0] = ps_[:, :NSLOTS]
-    end_out[0] = pe_[:, :NSLOTS]
-    hash_out[0] = ph_[:, :NSLOTS]
+    # Mosaic wants block sublane dims divisible by 8: pad the br+1 ext rows
+    # BEFORE compaction (padded rows have mask 0 -> count 0, never read).
+    sr_pad = start_out.shape[1]
+    padr = sr_pad - (br + 1)
+    zer = jnp.zeros((padr, LANES), dtype=I32)
+    mask_p = jnp.concatenate([mask.astype(I32), zer], axis=0)
+    cols_p = [
+        jnp.concatenate([c, zer], axis=0) for c in (pos, end_col, h)
+    ]
+    (ps_, pe_, ph_), rc = _lane_compact_slots(mask_p, cols_p)
+    start_out[0] = ps_[:, :nslots]
+    end_out[0] = pe_[:, :nslots]
+    hash_out[0] = ph_[:, :nslots]
     cnt_out[0] = rc
 
     # ---- carry update ----
     # new pending = last l elements of the ext stream, right-aligned into
     # one 128-lane row: flat source positions [128+cnt-l, 128+cnt).
     ext_ref[: br + 1, :] = ext
-    ext_ref[br + 1, :] = jnp.zeros((LANES,), dtype=I32)
-    src0 = LANES + cnt - l  # first source flat position (>= 128-l+... >= 1)
+    ext_ref[pl.ds(br + 1, 1), :] = jnp.zeros((1, LANES), dtype=I32)
+    src0 = LANES + cnt - l  # first source flat position (>= 128-l >= 1)
     r0 = src0 // LANES
     lane0 = src0 % LANES
     two = ext_ref[pl.ds(r0, 2), :]  # [2, 128]
-    # want out[128-l+q] = two_flat[lane0+q]; rotate lanes left by
-    # (lane0 - (128-l)) mod 128 then pick row 0/1 per lane.
-    s = (lane0 - (LANES - l)) % LANES
+    # want out[128-l+q] = two_flat[lane0+q], q in [0, l): per-row lane
+    # rotate left by s_true = lane0 - (128-l) (maybe negative), then lane d
+    # takes row 1 iff d + s_true >= 128.
+    s_true = lane0 - (LANES - l)
+    s = s_true % LANES
     rot = pltpu.roll(two, (LANES - s) % LANES, 1)
     li1 = jax.lax.broadcasted_iota(I32, (1, LANES), dimension=1)
-    # lane d takes source lane0 + (d - (128-l)); crosses into row 1 when
-    # lane0 + d - (128-l) >= 128, i.e. d >= 128 - s (for s > 0).
-    takes_row1 = li1 >= ((LANES - s) % LANES + jnp.where(s == 0, LANES, 0))
+    takes_row1 = li1 >= (LANES - s_true)
     pend_ref[0:1, :] = jnp.where(takes_row1, rot[1:2], rot[0:1])
 
     sm_ref[0] = base + cnt
     if do_hpc:
-        # last raw char of the block (for the run-spanning-block boundary)
-        sm_ref[1] = main[br - 1, LANES - 1]
+        # last raw char of the block (for the run-spanning-block boundary).
+        # Masked full-tile reduction: Mosaic only supports 32-bit scalar
+        # vector extracts, and the input ref is uint8.
+        is_last = (ri == br - 1) & (li == LANES - 1)
+        sm_ref[1] = jnp.sum(jnp.where(is_last, main, 0))
 
 
 def _flat_shift_back(x, first_fill):
@@ -337,6 +357,7 @@ def _nbits(n: int) -> int:
         "strict",
         "do_hpc",
         "hpc_end",
+        "nslots",
         "block_rows",
         "interpret",
     ),
@@ -350,20 +371,24 @@ def fused_minimizer_scan(
     strict: bool,
     do_hpc: bool,
     hpc_end: bool,
+    nslots: int = 16,
     block_rows: int = 256,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused pass -> per-row survivor slots.
 
-    Returns (start int32[B, SR, NSLOTS], end ..., hash ... (u32 bit
+    Returns (start int32[B, SR, nslots], end ..., hash ... (u32 bit
     patterns), row_counts int32[B, SR]) with SR = nt * (block_rows + 1).
     Slot rows are in sequence order; survivors of a row are its first
-    min(row_count, NSLOTS) slots.  row_count > NSLOTS means slot overflow
+    min(row_count, nslots) slots.  row_count > nslots means slot overflow
     (detect with .max()); counts are exact regardless.
     """
     if not (2 <= l <= 127):
         raise ValueError(f"l={l} must be in [2, 127] for the fused kernel")
     B, L = codes.shape
+    if L >= (1 << 28):
+        raise ValueError("padded length must be < 2^28 (positions are packed)")
+    block_rows = max(8, min(block_rows, -(-L // LANES)))
     if L % (block_rows * LANES):
         pad = -(-L // (block_rows * LANES)) * (block_rows * LANES) - L
         from ...constants import CODE_PAD
@@ -373,13 +398,13 @@ def fused_minimizer_scan(
     rows = L // LANES
     br = block_rows
     nt = rows // br
-    sr = br + 1
+    sr = -(-(br + 1) // 8) * 8  # ext rows padded to a sublane multiple
 
     main_spec = pl.BlockSpec(
         (1, br, LANES), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
     )
     slot_spec = pl.BlockSpec(
-        (1, sr, NSLOTS), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
+        (1, sr, nslots), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
     )
     cnt_spec = pl.BlockSpec(
         (1, sr, 1), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
@@ -393,6 +418,7 @@ def fused_minimizer_scan(
         do_hpc=do_hpc,
         hpc_end=hpc_end,
         br=br,
+        nslots=nslots,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -409,15 +435,12 @@ def fused_minimizer_scan(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, nt * sr, NSLOTS), I32),
-            jax.ShapeDtypeStruct((B, nt * sr, NSLOTS), I32),
-            jax.ShapeDtypeStruct((B, nt * sr, NSLOTS), I32),
+            jax.ShapeDtypeStruct((B, nt * sr, nslots), I32),
+            jax.ShapeDtypeStruct((B, nt * sr, nslots), I32),
+            jax.ShapeDtypeStruct((B, nt * sr, nslots), I32),
             jax.ShapeDtypeStruct((B, nt * sr, 1), I32),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")
-        ),
     )(limit.astype(I32), lengths.astype(I32), codes.reshape(B, rows, LANES))
     start, end, hsh, cnts = outs
     return start, end, hsh, cnts[..., 0]

@@ -131,11 +131,12 @@ def kminmer_pipeline(
     lengths = lengths.astype(I32)
 
     use_fused = (
-        spec.compaction in ("auto", "pallas")
-        and jax.default_backend() == "tpu"
-        and 1 <= l <= 127
-        and spec.hash_width == 32
-    )
+        (
+            spec.compaction in ("auto", "pallas")
+            and jax.default_backend() == "tpu"
+        )
+        or spec.compaction == "fused_interpret"
+    ) and 2 <= l <= 127 and spec.hash_width == 32
     if use_fused:
         return _fused_pipeline(codes, lengths, spec)
 
@@ -249,18 +250,20 @@ def kminmer_pipeline(
 def _fused_pipeline(
     codes: jnp.ndarray, lengths: jnp.ndarray, spec: PipelineSpec
 ) -> KminmerBatch:
-    """TPU fast path: HPC compaction + fused NtHash/select/compact Pallas
-    kernels; only the small [B, M] assembly stage stays in XLA."""
-    from .hpc import hpc_compress_packed, pack_pos_code
-    from .pallas.minimizer_kernel import minimizer_scan
+    """TPU fast path: ONE fused Pallas pass over the raw codes (in-kernel
+    HPC + NtHash + select + per-row slot compaction, ops/pallas/
+    fused_scan.py) + a small second compaction of the slot arrays; only the
+    [B, M] assembly stage stays in XLA."""
+    from .hpc import hpc_keep_mask
+    from .pallas.fused_scan import fused_minimizer_scan, slots_for_density
 
     B, L = codes.shape
     l, k = spec.l, spec.k
 
     if spec.is_hpc:
-        packed, eff_len = hpc_compress_packed(codes, lengths, "pallas")
+        # Cheap pre-pass: HPC length per read (one fused reduction).
+        eff_len = hpc_keep_mask(codes, lengths).sum(axis=-1).astype(I32)
     else:
-        packed = pack_pos_code(codes)
         eff_len = lengths
 
     # Window-start limit per mode (gate: no windows unless orig len > l,
@@ -271,23 +274,47 @@ def _fused_pipeline(
     m_cap = spec.capacity_for(L)
     if m_cap < k:
         raise ValueError(f"minimizer capacity {m_cap} < k={k}")
-    start, end, hsh, n_raw = minimizer_scan(
-        packed,
+    interpret = jax.default_backend() != "tpu"
+    nslots = slots_for_density(spec.density)
+    st, en, hs, rcnt = fused_minimizer_scan(
+        codes,
+        lengths,
         limit,
         l,
         int(spec.bound),
         spec.strict_threshold,
+        spec.is_hpc,
         spec.mode == "hpc",
-        m_cap,
+        nslots=nslots,
+        interpret=interpret,
     )
-    mcap_pad = start.shape[1]  # ceil(m_cap/128)*128
-    h_u32 = jax.lax.bitcast_convert_type(hsh, U32)
-    slot = jnp.arange(mcap_pad, dtype=I32)[None, :]
-    n_min = jnp.minimum(n_raw, m_cap)
-    valid = slot < n_min[:, None]
-    min_start = jnp.where(valid, start, 0)[:, :m_cap]
-    min_end = jnp.where(valid, end, 0)[:, :m_cap]
-    min_hash = jnp.where(valid, h_u32, U32(0))[:, :m_cap]
+    # Phase 2: global ordered compaction of the (~16x reduced) slot arrays.
+    # n_raw counts every selected minimizer (exact even on slot overflow;
+    # n_raw > n_minimizers implies loss — from slot overflow or m_cap).
+    _, SR, NS = st.shape
+    n_raw = rcnt.sum(axis=1)
+    slot_valid = (
+        jnp.arange(NS, dtype=I32)[None, None, :]
+        < jnp.minimum(rcnt, NS)[..., None]
+    )
+    (min_start, min_end, min_hash_i), n_slotted = compact(
+        slot_valid.reshape(B, SR * NS),
+        [
+            st.reshape(B, SR * NS),
+            en.reshape(B, SR * NS),
+            hs.reshape(B, SR * NS),
+        ],
+        m_cap,
+        [I32(0), I32(0), I32(0)],
+        method="pallas",
+    )
+    n_min = jnp.minimum(n_slotted, m_cap)
+    valid = jnp.arange(m_cap, dtype=I32)[None, :] < n_min[:, None]
+    min_start = jnp.where(valid, min_start, 0)
+    min_end = jnp.where(valid, min_end, 0)
+    min_hash = jnp.where(
+        valid, jax.lax.bitcast_convert_type(min_hash_i, U32), U32(0)
+    )
 
     (kh_hi, kh_lo), rev = assemble_kminmers(min_hash, k)
     mk = m_cap - k + 1

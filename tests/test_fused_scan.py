@@ -1,0 +1,162 @@
+"""Correctness tests for the fused single-pass minimizer kernel
+(ops/pallas/fused_scan.py) — the production hot path — in interpret mode
+on the CPU test mesh, validated element-exactly against the numpy oracle.
+
+The kernel fuses the reference's entire L1+L2 layer (HPC + rolling NtHash +
+density select: src/nthash_hpc.rs, src/hpc.rs:44-147,
+src/nthash_avx512_32.rs) into one pass with cross-block carry.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rust_seq2kminmers_tpu.constants import CODE_PAD, encode_bases
+from rust_seq2kminmers_tpu.oracle import HashMode, minimizers
+from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec, kminmer_pipeline
+from rust_seq2kminmers_tpu.ops.pallas.fused_scan import (
+    fused_minimizer_scan,
+    slots_for_density,
+)
+from rust_seq2kminmers_tpu.ops.u64 import to_py_u64
+from rust_seq2kminmers_tpu.oracle import kminmers as oracle_kminmers
+
+
+def _batch(rng, B, L, alphabet="AACCGGTTAAAA"):
+    codes = np.full((B, L), CODE_PAD, dtype=np.uint8)
+    lengths = np.zeros(B, dtype=np.int32)
+    seqs = []
+    for b in range(B):
+        n = int(rng.integers(L // 2, L - 1))
+        s = "".join(rng.choice(list(alphabet), size=n))
+        seqs.append(s)
+        codes[b, :n] = encode_bases(s)
+        lengths[b] = n
+    return codes, lengths, seqs
+
+
+def _run_scan(codes, lengths, spec, block_rows=8):
+    B, L = codes.shape
+    l = spec.l
+    if spec.is_hpc:
+        eff = np.zeros(B, dtype=np.int64)
+        for b in range(B):
+            c = codes[b, : lengths[b]]
+            k = np.ones(len(c), dtype=bool)
+            k[1:] = c[1:] != c[:-1]
+            eff[b] = k.sum()
+    else:
+        eff = lengths.astype(np.int64)
+    limit = eff - l - (1 if spec.mode == "hpc" else 0)
+    limit = np.where(lengths > l, limit, -1).astype(np.int32)
+    nslots = slots_for_density(spec.density)
+    st, en, hs, cnts = fused_minimizer_scan(
+        jnp.asarray(codes),
+        jnp.asarray(lengths),
+        jnp.asarray(limit),
+        spec.l,
+        spec.bound,
+        spec.strict_threshold,
+        spec.is_hpc,
+        spec.mode == "hpc",
+        nslots=nslots,
+        block_rows=block_rows,
+        interpret=True,
+    )
+    st, en, hs, cnts = map(np.asarray, (st, en, hs, cnts))
+    assert cnts.max(initial=0) <= nslots, "slot overflow"
+    streams = []
+    for b in range(B):
+        got = []
+        for r in range(st.shape[1]):
+            for q in range(min(cnts[b, r], nslots)):
+                got.append(
+                    (
+                        int(st[b, r, q]),
+                        int(en[b, r, q]),
+                        int(np.uint32(hs[b, r, q])),
+                    )
+                )
+        streams.append(got)
+    return streams
+
+
+@pytest.mark.parametrize("mode", ["regular", "simd", "hpc", "hpcsimd"])
+@pytest.mark.parametrize("l", [5, 31])
+def test_fused_scan_matches_oracle(rng, mode, l):
+    d = 0.05
+    codes, lengths, seqs = _batch(rng, B=3, L=2048)
+    spec = PipelineSpec(l=l, k=2, density=d, mode=mode)
+    streams = _run_scan(codes, lengths, spec)
+    for b, got in enumerate(streams):
+        ref = minimizers(seqs[b], l, d, HashMode(mode))
+        assert got == ref, f"mode={mode} l={l} row {b}"
+
+
+def test_fused_scan_run_spanning_blocks(rng):
+    """A homopolymer run crossing the block boundary must stay one run."""
+    l, d = 5, 0.2
+    L = 4096
+    block = 8 * 128  # block_rows=8
+    s = "".join(rng.choice(list("ACGT"), size=L - 300))
+    # plant a long run straddling the first block boundary
+    s = s[: block - 50] + "A" * 120 + s[block + 70 :]
+    codes = encode_bases(s)[None, :]
+    pad = np.full((1, L), CODE_PAD, dtype=np.uint8)
+    pad[0, : codes.shape[1]] = codes
+    lengths = np.array([codes.shape[1]], dtype=np.int32)
+    for mode in ["hpc", "hpcsimd"]:
+        spec = PipelineSpec(l=l, k=2, density=d, mode=mode)
+        got = _run_scan(pad, lengths, spec)[0]
+        ref = minimizers(s, l, d, HashMode(mode))
+        assert got == ref, mode
+
+
+def test_fused_scan_short_and_gated_reads(rng):
+    """Reads with len <= l yield nothing (src/lib.rs:97 strict gate)."""
+    l = 31
+    L = 1024
+    codes = np.full((3, L), CODE_PAD, dtype=np.uint8)
+    lengths = np.array([l, l - 5, l + 1], dtype=np.int32)
+    for b in range(3):
+        codes[b, : lengths[b]] = encode_bases(
+            "".join(rng.choice(list("ACGT"), size=int(lengths[b])))
+        )
+    spec = PipelineSpec(l=l, k=2, density=1.0, mode="regular")
+    streams = _run_scan(codes, lengths, spec)
+    assert streams[0] == [] and streams[1] == []
+    # len = l+1 admits exactly two windows at density 1.0 (starts 0 and 1)
+    assert len(streams[2]) == 2
+
+
+@pytest.mark.parametrize("mode", ["regular", "simd", "hpc", "hpcsimd"])
+def test_fused_pipeline_end_to_end(rng, mode):
+    """Full kminmer_pipeline through the fused path (compaction =
+    fused_interpret) against the oracle, record-for-record."""
+    codes, lengths, seqs = _batch(rng, B=2, L=4096, alphabet="AACCGGTTAANN")
+    spec = PipelineSpec(
+        l=7,
+        k=3,
+        density=0.02,
+        mode=mode,
+        max_minimizers=256,
+        compaction="fused_interpret",
+    )
+    out = jax.jit(lambda c, n: kminmer_pipeline(c, n, spec))(
+        jnp.asarray(codes), jnp.asarray(lengths)
+    )
+    for b in range(2):
+        nk = int(out.n_kminmers[b])
+        h = to_py_u64(
+            (np.asarray(out.hash_hi[b, :nk]), np.asarray(out.hash_lo[b, :nk]))
+        )
+        ref = oracle_kminmers(seqs[b], 7, 3, 0.02, HashMode(mode))
+        assert nk == len(ref)
+        for i, r in enumerate(ref):
+            assert (
+                int(h[i]),
+                int(out.start[b, i]),
+                int(out.end[b, i]),
+                bool(out.rev[b, i]),
+            ) == (r.hash, r.start, r.end, r.rev)
