@@ -62,20 +62,25 @@ def kminmers_list(
     backend: str = "jax",
     strict_limits: bool = True,
     hash_width: int = 32,
+    variant: str = "nthash1",
 ) -> List[KminmerRecord]:
     """Compute all k-min-mers of one sequence, in order.
 
     hash_width selects the minimizer hash precision (the reference's
     compile-time H, src/lib.rs:30-32): 32 is the reference's active config;
-    64 reproduces its u64 golden values (tests/main.rs:18-39)."""
+    64 reproduces its u64 golden values (tests/main.rs:18-39).
+
+    variant="nthash2" selects the 31-bit-rotate hybrid scheme (reference
+    src/nthash2_avx512_32.rs) intended for l > 31, where 32-bit NtHash1
+    degenerates; the SIMD l <= 31 limit is lifted for it."""
     mode = _mode_of(mode)
-    if strict_limits:
+    if strict_limits and variant == "nthash1":
         if mode in (HashMode.Simd, HashMode.HpcSimd) and l > MAX_L_SIMD:
             raise KSizeTooBig(f"l={l} exceeds {MAX_L_SIMD} for SIMD modes")
         if mode is HashMode.Hpc and l > MAX_L_HPC:
             raise KSizeTooBig(f"l={l} exceeds {MAX_L_HPC} for Hpc mode")
     if backend == "oracle":
-        return _oracle_kminmers(seq, l, k, density, mode, hash_width)
+        return _oracle_kminmers(seq, l, k, density, mode, hash_width, variant)
 
     import jax.numpy as jnp
 
@@ -94,6 +99,7 @@ def kminmers_list(
         mode=mode.value,
         max_minimizers=nwin,  # exact-capacity: never drops minimizers
         hash_width=hash_width,
+        variant=variant,
     )
     fn = _cached_pipeline(spec)
     out = fn(jnp.asarray(padded), jnp.asarray(np.array([n], dtype=np.int32)))
@@ -134,9 +140,11 @@ class KminmersIterator:
         mode=HashMode.Regular,
         backend: str = "jax",
         hash_width: int = 32,
+        variant: str = "nthash1",
     ):
         self._records = kminmers_list(
-            seq, l, k, density, mode, backend=backend, hash_width=hash_width
+            seq, l, k, density, mode, backend=backend,
+            hash_width=hash_width, variant=variant,
         )
 
     def __iter__(self) -> Iterator[KminmerRecord]:

@@ -61,6 +61,30 @@ def seed_tables(hash_width: int):
     )
     return f, r
 
+
+def seed_tables_nthash2_31():
+    """Seed tables for the NtHash2-hybrid 31-bit variant (reference
+    src/nthash2_avx512_32.rs:238-259): the TOP 31 bits of the 64-bit seeds
+    (`SEED >> 33`), values < 2^31, rotates mod 31.  This variant exists for
+    l > 31, where 32-bit NtHash1 degenerates (src/nthash2_avx512_32.rs:4-6).
+    """
+    seeds = [SEED_A64, SEED_C64, SEED_G64, SEED_T64]
+    f = np.array([s >> 33 for s in seeds] + [0, 1, 0], dtype=np.uint32)
+    r = np.array(
+        [seeds[3] >> 33, seeds[2] >> 33, seeds[1] >> 33, seeds[0] >> 33]
+        + [0, 1, 0],
+        dtype=np.uint32,
+    )
+    return f, r
+
+
+def hash_bound_nthash2_31(density: float) -> int:
+    """NtHash2-31 bound: the f32-recomputed SIMD bound halved — 31-bit
+    hash space is half of 32-bit (src/nthash2_avx512_32.rs:53-54; the
+    reference's comment calls the /2 unexplained, but it is exactly the
+    space-size correction)."""
+    return hash_bound_simd_u32(density) // 2
+
 # Base codes (order matches the reference SIMD LUT at
 # src/nthash_avx512_32.rs:183-184 which maps A->0 C->1 G->2 T->3 N->4).
 CODE_A = 0

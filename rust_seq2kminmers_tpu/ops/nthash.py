@@ -169,6 +169,48 @@ def sliding_nthash16(
     return fh, rh
 
 
+def sliding_nthash2_31(
+    codes: jnp.ndarray, l: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NtHash2-hybrid 31-bit variant (reference src/nthash2_avx512_32.rs):
+    the NtHash1 recurrence at width 31 — rotates mod 31, seeds = top 31
+    bits of the 64-bit constants (`SEED >> 33`).  Kept disabled in the
+    reference but needed for l > 31, where 32-bit NtHash1 degenerates
+    (:4-6).  Values carried in uint32 lanes (< 2^31)."""
+    from ..constants import seed_tables_nthash2_31
+
+    L = codes.shape[-1]
+    if L < l:
+        raise ValueError(f"padded length {L} < l={l}")
+    tf, tr = seed_tables_nthash2_31()
+
+    def rol31(x, r):
+        # shift-safe width-31 rotate in 32-bit lanes (x < 2^31): at r == 0
+        # the right-shift term must contribute nothing.
+        r = r % U32(31)
+        lo = (x << r) & U32(0x7FFFFFFF)
+        hi = x >> ((U32(31) - r) & U32(31))
+        return lo | jnp.where(r == U32(0), U32(0), hi)
+
+    j = jnp.arange(L, dtype=U32)
+    hf = _seed_select(tf, codes)
+    hr = _seed_select(tr, codes)
+    a = rol31(hf, (U32(31) - (j % U32(31))) % U32(31))
+    b = rol31(hr, j % U32(31))
+    wa = sliding_window_xor(a, l)
+    wb = sliding_window_xor(b, l)
+    nwin = L - l + 1
+    i = jnp.arange(nwin, dtype=U32)
+    fh = rol31(
+        jax.lax.slice_in_dim(wa, 0, nwin, axis=-1), U32(l - 1) + (i % U32(31))
+    )
+    rh = rol31(
+        jax.lax.slice_in_dim(wb, 0, nwin, axis=-1),
+        (U32(31) - (i % U32(31))) % U32(31),
+    )
+    return fh, rh
+
+
 def sliding_nthash64(codes: jnp.ndarray, l: int) -> Tuple[Pair, Pair]:
     """64-bit NtHash1 (the reference's H=u64 alternative, src/lib.rs:32),
     emulated as (hi, lo) uint32 pairs — TPU lanes are 32-bit.  Validated

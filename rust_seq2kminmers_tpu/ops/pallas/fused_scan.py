@@ -203,22 +203,21 @@ def _fused_kernel(
     limit_ref,  # scalar prefetch: int32[B] window-start limit (rank space)
     length_ref,  # scalar prefetch: int32[B] raw read length
     codes_ref,  # (1, br, 128) uint8 main block
-    start_out,  # (1, br+1, NSLOTS)
-    end_out,
-    hash_out,
-    cnt_out,  # (1, br+1, 1) per-ext-row survivor counts
-    pend_ref,  # VMEM scratch (8, 128) int32: row 0 = pending packed
-    ext_ref,  # VMEM scratch (br+2, 128) int32: staging for carry extract
-    sm_ref,  # SMEM scratch (4,): base_rank, last_raw, _, _
-    *,
+    *io_refs,  # start_out, [end_out,] hash_out, cnt_out, then scratch
     l: int,
     bound: int,
     strict: bool,
     do_hpc: bool,
     hpc_end: bool,
+    emit_end: bool,
     br: int,
     nslots: int,
 ):
+    if emit_end:
+        start_out, end_out, hash_out, cnt_out, pend_ref, ext_ref, sm_ref = io_refs
+    else:
+        start_out, hash_out, cnt_out, pend_ref, ext_ref, sm_ref = io_refs
+        end_out = None
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -233,6 +232,7 @@ def _fused_kernel(
     length = length_ref[b]
     limit = limit_ref[b]
 
+    P0 = 8 * LANES  # pending prefix: 8 aligned rows, data in row 7 only
     main = codes_ref[0].astype(I32)  # [br, 128] codes 0..6
     ri = jax.lax.broadcasted_iota(I32, main.shape, dimension=0)
     li = jax.lax.broadcasted_iota(I32, main.shape, dimension=1)
@@ -252,14 +252,16 @@ def _fused_kernel(
         comp = packed
         cnt = jnp.int32(br * LANES)
 
-    ext = jnp.concatenate([pend_ref[0:1, :], comp], axis=0)  # [br+1, 128]
+    # 8-row pending prefix keeps every tile sublane-aligned (no {0,127}
+    # vpad relayouts); only prefix row 7 carries data, rows 0-6 stay zero.
+    ext = jnp.concatenate([pend_ref[0:8, :], comp], axis=0)  # [br+8, 128]
 
     # ---- hash over the carried + compacted stream ----
     ecode = ext & 7
     efl = jax.lax.broadcasted_iota(I32, ext.shape, dimension=0) * LANES + (
         jax.lax.broadcasted_iota(I32, ext.shape, dimension=1)
     )
-    r_glob = base - LANES + efl  # global kept rank of each ext element
+    r_glob = base - P0 + efl  # global kept rank of each ext element
     rot_f = (-r_glob) & 31
     a_f = _rol32_lane(_seed_tree(SEED_TABLE_F, ecode), rot_f)
     a_r = _rol32_lane(_seed_tree(SEED_TABLE_R, ecode), r_glob & 31)
@@ -270,10 +272,14 @@ def _fused_kernel(
     h = _umin(fh, rh)
 
     pos = _shrl(ext, 3)
-    if hpc_end:
-        end_col = _flat_shift_any(pos, l) - 1
-    else:
-        end_col = _flat_shift_any(pos, l - 1)
+    if emit_end:
+        # hpc: end = pos[f+l] - 1; hpcsimd: end = pos[f+l-1].  For the
+        # regular/simd modes end == start + l - 1 is derived by the caller
+        # and the whole column is skipped.
+        if hpc_end:
+            end_col = _flat_shift_any(pos, l) - 1
+        else:
+            end_col = _flat_shift_any(pos, l - 1)
 
     # ---- emission mask ----
     bnd = jnp.int32(np.uint32(bound).view(np.int32))
@@ -281,8 +287,8 @@ def _fused_kernel(
     # A window is emitted by the block holding its LAST element, or its
     # ONE-PAST-LAST element when the end convention needs lookahead
     # (hpc_end: end = pos[f+l]-1, the scalar HPC iterator's convention).
-    f_lo = LANES - l if hpc_end else LANES - l + 1
-    f_hi = LANES + cnt - l - (1 if hpc_end else 0)
+    f_lo = P0 - l if hpc_end else P0 - l + 1
+    f_hi = P0 + cnt - l - (1 if hpc_end else 0)
     mask = (
         passed
         & (efl >= f_lo)
@@ -292,27 +298,23 @@ def _fused_kernel(
     )
 
     # ---- per-row slot compaction + fixed-shape writes ----
-    # Mosaic wants block sublane dims divisible by 8: pad the br+1 ext rows
-    # BEFORE compaction (padded rows have mask 0 -> count 0, never read).
-    sr_pad = start_out.shape[1]
-    padr = sr_pad - (br + 1)
-    zer = jnp.zeros((padr, LANES), dtype=I32)
-    mask_p = jnp.concatenate([mask.astype(I32), zer], axis=0)
-    cols_p = [
-        jnp.concatenate([c, zer], axis=0) for c in (pos, end_col, h)
-    ]
-    (ps_, pe_, ph_), rc = _lane_compact_slots(mask_p, cols_p)
+    cols_in = [pos, end_col, h] if emit_end else [pos, h]
+    packed_cols, rc = _lane_compact_slots(mask.astype(I32), cols_in)
+    if emit_end:
+        ps_, pe_, ph_ = packed_cols
+        end_out[0] = pe_[:, :nslots]
+    else:
+        ps_, ph_ = packed_cols
     start_out[0] = ps_[:, :nslots]
-    end_out[0] = pe_[:, :nslots]
     hash_out[0] = ph_[:, :nslots]
     cnt_out[0] = rc
 
     # ---- carry update ----
     # new pending = last l elements of the ext stream, right-aligned into
     # one 128-lane row: flat source positions [128+cnt-l, 128+cnt).
-    ext_ref[: br + 1, :] = ext
-    ext_ref[pl.ds(br + 1, 1), :] = jnp.zeros((1, LANES), dtype=I32)
-    src0 = LANES + cnt - l  # first source flat position (>= 128-l >= 1)
+    ext_ref[: br + 8, :] = ext
+    ext_ref[pl.ds(br + 8, 1), :] = jnp.zeros((1, LANES), dtype=I32)
+    src0 = P0 + cnt - l  # first source flat position
     r0 = src0 // LANES
     lane0 = src0 % LANES
     two = ext_ref[pl.ds(r0, 2), :]  # [2, 128]
@@ -324,7 +326,7 @@ def _fused_kernel(
     rot = pltpu.roll(two, (LANES - s) % LANES, 1)
     li1 = jax.lax.broadcasted_iota(I32, (1, LANES), dimension=1)
     takes_row1 = li1 >= (LANES - s_true)
-    pend_ref[0:1, :] = jnp.where(takes_row1, rot[1:2], rot[0:1])
+    pend_ref[7:8, :] = jnp.where(takes_row1, rot[1:2], rot[0:1])
 
     sm_ref[0] = base + cnt
     if do_hpc:
@@ -357,6 +359,7 @@ def _nbits(n: int) -> int:
         "strict",
         "do_hpc",
         "hpc_end",
+        "emit_end",
         "nslots",
         "block_rows",
         "interpret",
@@ -371,14 +374,16 @@ def fused_minimizer_scan(
     strict: bool,
     do_hpc: bool,
     hpc_end: bool,
+    emit_end: bool = True,
     nslots: int = 16,
     block_rows: int = 256,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused pass -> per-row survivor slots.
 
-    Returns (start int32[B, SR, nslots], end ..., hash ... (u32 bit
-    patterns), row_counts int32[B, SR]) with SR = nt * (block_rows + 1).
+    Returns (start int32[B, SR, nslots], end (None when emit_end=False —
+    ends are then start + l - 1), hash ... (u32 bit patterns), row_counts
+    int32[B, SR]) with SR = nt * (block_rows + 8).
     Slot rows are in sequence order; survivors of a row are its first
     min(row_count, nslots) slots.  row_count > nslots means slot overflow
     (detect with .max()); counts are exact regardless.
@@ -398,7 +403,7 @@ def fused_minimizer_scan(
     rows = L // LANES
     br = block_rows
     nt = rows // br
-    sr = -(-(br + 1) // 8) * 8  # ext rows padded to a sublane multiple
+    sr = br + 8  # ext rows (8-row pending prefix + br main) — aligned
 
     main_spec = pl.BlockSpec(
         (1, br, LANES), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
@@ -417,30 +422,33 @@ def fused_minimizer_scan(
         strict=strict,
         do_hpc=do_hpc,
         hpc_end=hpc_end,
+        emit_end=emit_end,
         br=br,
         nslots=nslots,
     )
+    n_slot_arrays = 3 if emit_end else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, nt),
         in_specs=[main_spec],
-        out_specs=[slot_spec, slot_spec, slot_spec, cnt_spec],
+        out_specs=[slot_spec] * n_slot_arrays + [cnt_spec],
         scratch_shapes=[
             pltpu.VMEM((8, LANES), I32),
-            pltpu.VMEM((br + 2, LANES), I32),
+            pltpu.VMEM((br + 16, LANES), I32),
             pltpu.SMEM((4,), I32),
         ],
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, nt * sr, nslots), I32),
-            jax.ShapeDtypeStruct((B, nt * sr, nslots), I32),
-            jax.ShapeDtypeStruct((B, nt * sr, nslots), I32),
-            jax.ShapeDtypeStruct((B, nt * sr, 1), I32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((B, nt * sr, nslots), I32)]
+        * n_slot_arrays
+        + [jax.ShapeDtypeStruct((B, nt * sr, 1), I32)],
         interpret=interpret,
     )(limit.astype(I32), lengths.astype(I32), codes.reshape(B, rows, LANES))
-    start, end, hsh, cnts = outs
+    if emit_end:
+        start, end, hsh, cnts = outs
+    else:
+        start, hsh, cnts = outs
+        end = None
     return start, end, hsh, cnts[..., 0]

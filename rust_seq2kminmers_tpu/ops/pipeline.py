@@ -62,6 +62,9 @@ class PipelineSpec:
     # src/lib.rs:30-32) as runtime config.  SIMD modes are u32-only, like
     # the reference's 32-bit AVX-512 kernels.
     hash_width: int = 32
+    # "nthash1" (default) or "nthash2" — the 31-bit-rotate hybrid
+    # (reference src/nthash2_avx512_32.rs) for l > 31 support.
+    variant: str = "nthash1"
 
     def __post_init__(self):
         if self.mode not in ("regular", "hpc", "simd", "hpcsimd"):
@@ -72,6 +75,10 @@ class PipelineSpec:
             raise ValueError(f"hash_width must be 16/32/64, got {self.hash_width}")
         if self.hash_width != 32 and self.mode in ("simd", "hpcsimd"):
             raise ValueError("SIMD modes require hash_width=32")
+        if self.variant not in ("nthash1", "nthash2"):
+            raise ValueError(f"unknown variant {self.variant!r}")
+        if self.variant == "nthash2" and self.hash_width != 32:
+            raise ValueError("nthash2 variant is 32-bit-lane only")
 
     @property
     def strict_threshold(self) -> bool:
@@ -80,6 +87,13 @@ class PipelineSpec:
 
     @property
     def bound(self) -> int:
+        if self.variant == "nthash2":
+            # 31-bit hash space: halved bounds (src/nthash2_avx512_32.rs:54)
+            from ..constants import hash_bound_nthash2_31
+
+            if self.strict_threshold:
+                return hash_bound_nthash2_31(self.density)
+            return hash_bound_u32(self.density) // 2
         if self.strict_threshold:
             return hash_bound_simd_u32(self.density)
         if self.hash_width != 32:
@@ -136,7 +150,7 @@ def kminmer_pipeline(
             and jax.default_backend() == "tpu"
         )
         or spec.compaction == "fused_interpret"
-    ) and 2 <= l <= 127 and spec.hash_width == 32
+    ) and 2 <= l <= 127 and spec.hash_width == 32 and spec.variant == "nthash1"
     if use_fused:
         return _fused_pipeline(codes, lengths, spec)
 
@@ -146,7 +160,13 @@ def kminmer_pipeline(
     else:
         hash_input, eff_len = codes, lengths
 
-    if spec.hash_width == 64:
+    if spec.variant == "nthash2":
+        from .nthash import sliding_nthash2_31
+
+        fh, rh = sliding_nthash2_31(hash_input, l)
+        h = jnp.minimum(fh, rh)
+        h_hi = None
+    elif spec.hash_width == 64:
         fh64, rh64 = sliding_nthash64(hash_input, l)
         from .u64 import min2
 
@@ -276,6 +296,9 @@ def _fused_pipeline(
         raise ValueError(f"minimizer capacity {m_cap} < k={k}")
     interpret = jax.default_backend() != "tpu"
     nslots = slots_for_density(spec.density)
+    # regular/simd: end == start + l - 1, derived after compaction — the
+    # whole end column is skipped through both kernels.
+    emit_end = spec.is_hpc
     st, en, hs, rcnt = fused_minimizer_scan(
         codes,
         lengths,
@@ -285,6 +308,7 @@ def _fused_pipeline(
         spec.strict_threshold,
         spec.is_hpc,
         spec.mode == "hpc",
+        emit_end=emit_end,
         nslots=nslots,
         interpret=interpret,
     )
@@ -297,17 +321,27 @@ def _fused_pipeline(
         jnp.arange(NS, dtype=I32)[None, None, :]
         < jnp.minimum(rcnt, NS)[..., None]
     )
-    (min_start, min_end, min_hash_i), n_slotted = compact(
-        slot_valid.reshape(B, SR * NS),
-        [
-            st.reshape(B, SR * NS),
-            en.reshape(B, SR * NS),
-            hs.reshape(B, SR * NS),
-        ],
-        m_cap,
-        [I32(0), I32(0), I32(0)],
-        method="pallas",
-    )
+    sv = slot_valid.reshape(B, SR * NS)
+    slot_cols = [st.reshape(B, SR * NS), hs.reshape(B, SR * NS)]
+    if emit_end:
+        slot_cols.insert(1, en.reshape(B, SR * NS))
+    if SR * NS <= (1 << 21):
+        # whole slot row fits VMEM: dense one-block compaction kernel
+        from .pallas.slot_compact import slot_compact
+
+        packed, n_slotted = slot_compact(
+            sv, slot_cols, m_cap, interpret=interpret
+        )
+        packed = [p[:, :m_cap] for p in packed]
+    else:
+        packed, n_slotted = compact(
+            sv, slot_cols, m_cap, [I32(0)] * len(slot_cols), method="pallas"
+        )
+    if emit_end:
+        min_start, min_end, min_hash_i = packed
+    else:
+        min_start, min_hash_i = packed
+        min_end = min_start + (l - 1)
     n_min = jnp.minimum(n_slotted, m_cap)
     valid = jnp.arange(m_cap, dtype=I32)[None, :] < n_min[:, None]
     min_start = jnp.where(valid, min_start, 0)
@@ -316,7 +350,11 @@ def _fused_pipeline(
         valid, jax.lax.bitcast_convert_type(min_hash_i, U32), U32(0)
     )
 
-    (kh_hi, kh_lo), rev = assemble_kminmers(min_hash, k)
+    from .pallas.assemble_kernel import assemble_kminmers_pallas
+
+    (kh_hi, kh_lo), rev = assemble_kminmers_pallas(
+        min_hash, k, interpret=interpret
+    )
     mk = m_cap - k + 1
     n_km = jnp.maximum(n_min - (k - 1), 0)
     w = jnp.arange(mk, dtype=I32)[None, :]

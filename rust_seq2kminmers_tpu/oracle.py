@@ -36,9 +36,11 @@ from .constants import (
     SEED_TABLE_R,
     encode_bases,
     hash_bound,
+    hash_bound_nthash2_31,
     hash_bound_simd_u32,
     hash_bound_u32,
     seed_tables,
+    seed_tables_nthash2_31,
 )
 
 
@@ -214,8 +216,42 @@ def hpc_compress(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return codes[pos], pos
 
 
+def sliding_nthash2_31(
+    codes: np.ndarray, l: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The NtHash2-hybrid 31-bit variant (reference src/nthash2_avx512_32.rs,
+    kept disabled there for future l > 31 support, :4-6): the identical
+    NtHash1 recurrence algebra at width 31 — rotates mod 31
+    (rori31/rorv31, :186-215), seeds = top 31 bits (`SEED >> 33`, :238-259).
+
+    Derivation from the reference's init loops (:271-311): fh = 0; for i:
+    fh = rol31(fh, 1) ^ seedF(s[i])  =>  fh = XOR_i rol31(seedF(s_i), l-1-i);
+    rh = ror31(rh ^ ror31(seedR(s_i), ck), 1) with ck = 31 - (l % 31)
+    =>  rh = XOR_i rol31(seedR(s_i), i)  (ck + l - i === -i mod 31).
+    Canonical = min(fh, rh) (mask_blend on cmpgt, :313-325)."""
+    n = len(codes)
+    if n < l:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z
+    tf, tr = seed_tables_nthash2_31()
+    hf = tf[codes].astype(np.uint64)
+    hr = tr[codes].astype(np.uint64)
+    j = np.arange(n, dtype=np.int64)
+    a = _rolw(hf, (-j) % 31, 31)
+    b = _rolw(hr, j % 31, 31)
+    pa = np.zeros(n + 1, dtype=np.uint64)
+    pb = np.zeros(n + 1, dtype=np.uint64)
+    np.bitwise_xor.accumulate(a, out=pa[1:])
+    np.bitwise_xor.accumulate(b, out=pb[1:])
+    i = np.arange(n - l + 1, dtype=np.int64)
+    fh = _rolw(pa[i + l] ^ pa[i], (l - 1 + i) % 31, 31)
+    rh = _rolw(pb[i + l] ^ pb[i], (-i) % 31, 31)
+    return fh, rh
+
+
 def minimizers(
-    seq, l: int, density: float, mode: HashMode, hash_width: int = 32
+    seq, l: int, density: float, mode: HashMode, hash_width: int = 32,
+    variant: str = "nthash1",
 ) -> List[Tuple[int, int, int]]:
     """The L2 stage: density-selected minimizer stream.
 
@@ -226,9 +262,19 @@ def minimizers(
     hash_width mirrors the reference's compile-time H (src/lib.rs:30-32).
     The SIMD modes are u32-only, like the reference's AVX-512 kernels
     (src/nthash_avx512_32.rs: 32-bit lanes).
+
+    variant="nthash2" selects the NtHash2-hybrid 31-bit scheme (reference
+    src/nthash2_avx512_32.rs, needed for l > 31): SIMD-mode bound is the
+    f32 bound halved with strict `<` (:53-58); the scalar-mode bound
+    (halved f64 bound, `<=`) is our extension — the reference never
+    shipped a scalar nthash2 path.
     """
     if hash_width != 32 and mode in (HashMode.Simd, HashMode.HpcSimd):
         raise ValueError("SIMD modes require hash_width=32")
+    if variant not in ("nthash1", "nthash2"):
+        raise ValueError(f"unknown variant {variant!r}")
+    if variant == "nthash2" and hash_width != 32:
+        raise ValueError("nthash2 variant is 32-bit-lane only")
     codes = encode_bases(seq) if not (
         isinstance(seq, np.ndarray) and seq.dtype == np.uint8 and seq.max(initial=0) < 8
     ) else seq
@@ -239,19 +285,29 @@ def minimizers(
     if n <= l:
         return out
 
+    def _hashes(cs):
+        if variant == "nthash2":
+            return sliding_nthash2_31(cs, l)
+        return sliding_nthash(cs, l, hash_width)
+
+    if variant == "nthash2":
+        bound_scalar = hash_bound(density, 32) // 2
+        bound_simd = hash_bound_nthash2_31(density)
+    else:
+        bound_scalar = hash_bound(density, hash_width)
+        bound_simd = hash_bound_simd_u32(density)
+
     if mode in (HashMode.Regular, HashMode.Simd):
-        fh, rh = sliding_nthash(codes, l, hash_width)
+        fh, rh = _hashes(codes)
         h = np.minimum(fh, rh)
         if mode is HashMode.Regular:
             # Regular: caller-side filter `hash <= bound` (src/lib.rs:228),
             # f64 bound (src/lib.rs:91); all windows are candidates.
-            bound = hash_bound(density, hash_width)
-            sel = np.nonzero(h <= np.uint64(bound))[0]
+            sel = np.nonzero(h <= np.uint64(bound_scalar))[0]
         else:
             # Simd: strict `<` against the f32-recomputed bound
             # (src/nthash_avx512_32.rs:48,55,130).
-            bound = hash_bound_simd_u32(density)
-            sel = np.nonzero(h < np.uint64(bound))[0]
+            sel = np.nonzero(h < np.uint64(bound_simd))[0]
         for i in sel:
             out.append((int(i), int(i) + l - 1, int(h[i])))
         return out
@@ -260,7 +316,7 @@ def minimizers(
     m = len(hpc_codes)
     if m < l:
         return out
-    fh, rh = sliding_nthash(hpc_codes, l, hash_width)
+    fh, rh = _hashes(hpc_codes)
     h = np.minimum(fh, rh)
     if mode is HashMode.Hpc:
         # Scalar fused HPC iterator: emits window i only if run i+l exists
@@ -270,10 +326,9 @@ def minimizers(
         # end = last original index of run i+l-1, i.e. pos[i+l]-1
         # (src/nthash_hpc.rs:234,281: current_idx_plus_k - 1).
         # Threshold: `<=` f64 bound (src/nthash_hpc.rs:277).
-        bound = hash_bound(density, hash_width)
         nwin = m - l  # windows 0 .. m-l-1
         hh = h[:nwin]
-        sel = np.nonzero(hh <= np.uint64(bound))[0]
+        sel = np.nonzero(hh <= np.uint64(bound_scalar))[0]
         for i in sel:
             out.append((int(pos[i]), int(pos[i + l]) - 1, int(hh[i])))
     else:  # HpcSimd
@@ -281,20 +336,20 @@ def minimizers(
         # end = pos[i+l-1] (start of the *last run*, a different convention
         # from scalar Hpc — src/nthash_hpc_simd.rs:64).  Threshold `<` with
         # the f32 bound.
-        bound = hash_bound_simd_u32(density)
-        sel = np.nonzero(h < bound)[0]
+        sel = np.nonzero(h < np.uint64(bound_simd))[0]
         for i in sel:
             out.append((int(pos[i]), int(pos[i + l - 1]), int(h[i])))
     return out
 
 
 def kminmers(
-    seq, l: int, k: int, density: float, mode: HashMode, hash_width: int = 32
+    seq, l: int, k: int, density: float, mode: HashMode,
+    hash_width: int = 32, variant: str = "nthash1",
 ) -> List[KminmerRecord]:
     """Full pipeline: minimizer stream -> mixhash -> k-window canonical
     minimizer-space NtHash -> KminmerRecord stream (src/lib.rs:179-270).
     """
-    mins = minimizers(seq, l, density, mode, hash_width)
+    mins = minimizers(seq, l, density, mode, hash_width, variant)
     if len(mins) < k:
         return []
     starts = np.array([m[0] for m in mins], dtype=np.int64)
