@@ -9,8 +9,15 @@ original sequence space.  Output is bit-identical to the reference crate.
 
 from .api import KminmersIterator, KSizeTooBig, kminmers_list
 from .constants import encode_bases, hash_bound_u32, hash_bound_simd_u32
-from .hpc_strings import encode_rle, hpc
-from .oracle import HashMode, KminmerRecord
+from .hpc_strings import encode_rle, encode_rle_simd, hpc
+from .kminmer import (
+    KminmerVec,
+    fxhash32_of_mers,
+    fxhash64_of_mers,
+    kminmer_hash_from_mers,
+    kminmers_vec,
+)
+from .oracle import HashMode, KminmerRecord, nthash1_minimizer_space
 from .ops.pipeline import KminmerBatch, PipelineSpec, kminmer_pipeline, make_pipeline
 
 __version__ = "0.1.0"

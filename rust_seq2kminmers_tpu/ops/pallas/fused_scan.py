@@ -52,7 +52,7 @@ def slots_for_density(density: float) -> int:
     margin (P[Binom(128, d) > slots] ~ 0); overflow is still detected via
     the returned row counts, never silent."""
     mean = 128.0 * max(density, 0.0)
-    n = int(mean * 4 + 6 * (mean ** 0.5) + 8)
+    n = int(mean * 3 + 5 * (mean ** 0.5) + 6)
     return int(min(128, max(8, -(-n // 8) * 8)))  # multiple of 8 lanes
 
 

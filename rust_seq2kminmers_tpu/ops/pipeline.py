@@ -325,8 +325,9 @@ def _fused_pipeline(
     slot_cols = [st.reshape(B, SR * NS), hs.reshape(B, SR * NS)]
     if emit_end:
         slot_cols.insert(1, en.reshape(B, SR * NS))
-    if SR * NS <= (1 << 21):
-        # whole slot row fits VMEM: dense one-block compaction kernel
+    # Dense one-block compaction requires the whole slot row (+ working
+    # copies) to fit scoped VMEM (~16 MB): gate on total live estimate.
+    if SR * NS * (len(slot_cols) + 1) * 4 * 5 <= 12 * (1 << 20):
         from .pallas.slot_compact import slot_compact
 
         packed, n_slotted = slot_compact(
