@@ -13,10 +13,14 @@ full pipeline (~1 GB/s SIMD NtHash bound, README.md:23; HPC alone is
 Timing methodology: the axon tunnel to the chip has ~30 ms fixed RTT per
 host sync and `block_until_ready` can return early, so per-step host
 timing measures the tunnel, not the chip.  Instead each measured unit is a
-jitted lax.scan of STEPS full pipeline invocations whose inputs are
-generated on-device (distinct per step via the PRNG) and whose outputs all
-feed a checksum that is materialized on host once per unit — one RTT
-amortized over STEPS steps of real, non-cacheable device work.
+jitted lax.scan of STEPS full pipeline invocations whose outputs all feed
+a checksum that is materialized on host once per unit — one RTT amortized
+over STEPS steps of real device work.  Inputs come from a pool of POOL
+distinct pre-generated batches resident in HBM, indexed per step (cycling;
+XLA cannot fold or cache the pipeline across iterations since the operand
+is a data-dependent dynamic slice), so input preparation costs nothing
+inside the measured region — matching the reference's criterion setup,
+which also hashes a pre-materialized string (benches/bench.rs:20-34).
 """
 
 import json
@@ -45,25 +49,20 @@ def main():
     )
 
     B, L = 32, 1 << 20  # 32 reads x 1 Mbp = 32 MB per step
-    STEPS = 16
+    STEPS = 128
+    POOL = 16
     lengths = jnp.asarray(np.full(B, L, dtype=np.int32))
     spec = PipelineSpec(
         l=31, k=5, density=0.01, mode="hpcsimd",
         max_minimizers=int(L * 0.02) + 256,
     )
 
-    # Base pool generated once; each step derives a distinct input by a
-    # key-dependent cyclic roll (a 32 MB copy, ~0.1 ms) — fresh data per
-    # step without paying ~2 ms of RNG+interleave per step inside the
-    # measured region.
-    def gen_base(key):
-        bits = jax.random.bits(key, (B, L // 4), jnp.uint32)
+    def gen_pool(key):
+        bits = jax.random.bits(key, (POOL, B, L // 4), jnp.uint32)
         c = jnp.stack([(bits >> (2 * i)) & 3 for i in range(4)], axis=-1)
-        return c.reshape(B, L).astype(jnp.uint8)
+        return c.reshape(POOL, B, L).astype(jnp.uint8)
 
-    def derive(base, key):
-        shift = jax.random.randint(key, (), 1, L - 1)
-        return jnp.roll(base, shift, axis=1)
+    pool = jax.block_until_ready(jax.jit(gen_pool)(jax.random.PRNGKey(7)))
 
     def chk_of(out):
         return (
@@ -76,29 +75,31 @@ def main():
         )
 
     @jax.jit
-    def unit(key):
-        base = gen_base(key)
+    def unit(pool, salt):
+        def body(carry, i):
+            acc, nk = carry
+            codes = jax.lax.dynamic_index_in_dim(
+                pool, (i + salt) % POOL, axis=0, keepdims=False
+            )
+            out = kminmer_pipeline(codes, lengths, spec)
+            return (acc + chk_of(out), nk + out.n_kminmers.sum()), None
 
-        def body(carry, _):
-            key, acc, nk = carry
-            key, sub = jax.random.split(key)
-            out = kminmer_pipeline(derive(base, sub), lengths, spec)
-            return (key, acc + chk_of(out), nk + out.n_kminmers.sum()), None
-
-        (key, acc, nk), _ = jax.lax.scan(
-            body, (key, jnp.int32(0), jnp.int32(0)), None, length=STEPS
+        (acc, nk), _ = jax.lax.scan(
+            body,
+            (jnp.int32(0), jnp.int32(0)),
+            jnp.arange(STEPS, dtype=jnp.int32),
         )
         return acc, nk
 
     # warmup / compile
-    acc, nk = unit(jax.random.PRNGKey(0))
+    acc, nk = unit(pool, jnp.int32(0))
     int(acc)
 
     reps = 3
     times = []
     for i in range(reps):
         t0 = time.perf_counter()
-        acc, nk = unit(jax.random.PRNGKey(i))
+        acc, nk = unit(pool, jnp.int32(i))
         int(acc)  # single host sync per unit
         times.append(time.perf_counter() - t0)
     total_kminmers = int(np.asarray(nk))

@@ -92,12 +92,14 @@ def _row_shift_up(x, q: int):
 
 
 def _flat_shift(x, s: int):
-    """y_flat[i] = x_flat[i + s] over row-major [R, 128]; static 0<=s<128."""
+    """y_flat[i] = x_flat[i + s] over row-major [R, 128]; static 0<=s<128.
+
+    roll commutes with the row shift, so one roll feeds both branches."""
     if s == 0:
         return x
     li = jax.lax.broadcasted_iota(I32, x.shape, dimension=1)
     a = pltpu.roll(x, LANES - s, 1)
-    b = pltpu.roll(_row_shift_up(x, 1), LANES - s, 1)
+    b = _row_shift_up(a, 1)
     return jnp.where(li < LANES - s, a, b)
 
 
@@ -127,27 +129,52 @@ def _sliding_window_xor_flat(x, l: int):
     return acc
 
 
-def _flat_rank_inclusive(m):
-    """Inclusive prefix sum of int32 over the flat [R, 128] layout:
-    lane-level Hillis-Steele (7 rolls) + per-row totals cascaded down the
-    sublane axis (log2(R) rounds on broadcast row sums)."""
+F32 = jnp.float32
+
+
+def _lane_cumsum_mxu(m):
+    """In-row inclusive cumsum of small int32 over [R, 128] as ONE MXU
+    matmul against an upper-triangular ones matrix (exact: sums < 2^24)."""
+    i = jax.lax.broadcasted_iota(I32, (LANES, LANES), dimension=0)
+    j = jax.lax.broadcasted_iota(I32, (LANES, LANES), dimension=1)
+    tri = (i <= j).astype(F32)
+    return jnp.dot(
+        m.astype(F32), tri, preferred_element_type=F32
+    )
+
+
+def _flat_rank_inclusive(m, rows_mxu: bool = True):
+    """Inclusive prefix sum of int32 over the flat [R, 128] layout.
+
+    In-row cumsum and (for rows_mxu, R <= 512) the row-total prefix both run
+    on the MXU as triangular-ones matmuls — replacing ~50 VPU ops with 3
+    matmuls (exact while total counts < 2^24).  With rows_mxu=False the row
+    prefix falls back to a log2(R) Hillis-Steele cascade (for large R where
+    the [R, R] triangle would pressure VMEM)."""
     R = m.shape[0]
-    li = jax.lax.broadcasted_iota(I32, m.shape, dimension=1)
-    ps = m
-    for j in range(7):
-        sh = 1 << j
-        ps = ps + jnp.where(li >= sh, pltpu.roll(ps, sh, 1), 0)
-    row_tot = jax.lax.broadcast_in_dim(
-        ps[:, LANES - 1], m.shape, (0,)
-    )  # [R, 128] row totals
+    mf = m.astype(F32)
+    i = jax.lax.broadcasted_iota(I32, (LANES, LANES), dimension=0)
+    j = jax.lax.broadcasted_iota(I32, (LANES, LANES), dimension=1)
+    ps_f = jnp.dot(mf, (i <= j).astype(F32), preferred_element_type=F32)
+    if rows_mxu and R <= 512:
+        # row totals broadcast over lanes, then strict row prefix — both as
+        # ones-matmuls; the [R, R] strict triangle lives in registers/VMEM.
+        ones = jnp.ones((LANES, LANES), dtype=F32)
+        s = jnp.dot(mf, ones, preferred_element_type=F32)  # [R,128] rowsums
+        ri = jax.lax.broadcasted_iota(I32, (R, R), dimension=0)
+        rj = jax.lax.broadcasted_iota(I32, (R, R), dimension=1)
+        pre = jnp.dot(
+            (rj < ri).astype(F32), s, preferred_element_type=F32
+        )
+        return (ps_f + pre).astype(I32)
+    ps = ps_f.astype(I32)
+    row_tot = jax.lax.broadcast_in_dim(ps[:, LANES - 1], m.shape, (0,))
     ri = jax.lax.broadcasted_iota(I32, m.shape, dimension=0)
     acc = row_tot
     sh = 1
     while sh < R:
         acc = acc + jnp.where(ri >= sh, _rollrows(acc, sh), 0)
         sh <<= 1
-    # acc now holds inclusive row-total prefix; subtract own row total to
-    # get the exclusive row prefix, then add the in-row inclusive rank.
     return ps + (acc - row_tot)
 
 
@@ -156,46 +183,56 @@ def _rollrows(x, sh: int):
     return pltpu.roll(x, sh, 0)
 
 
+DROP = np.int32(1 << 29)  # dropped marker: all movement bits are zero
+
+
 def _move_compact(off, cols, nbits: int):
     """Stable left-move of elements by their per-element offset `off`
-    (-1 = dropped), decomposed bit-by-bit over flat shifts.  Monotone
-    offsets of a stable compaction guarantee collision-freedom — the flat
-    generalization of the per-row rank/roll compaction."""
+    (DROP = dropped: low `nbits` bits must be zero), decomposed bit-by-bit
+    over flat shifts.  Monotone offsets of a stable compaction guarantee
+    collision-freedom — the flat generalization of per-row rank/roll
+    compaction.  The DROP encoding makes `moves in` a single bit test (a
+    dropped or zero-filled source has the bit clear), and stale copies left
+    behind by a move re-drop themselves via the same bit."""
     cols = list(cols)
     for b in range(nbits):
         sh = 1 << b
         off_in = _flat_shift_any(off, sh)
-        valid_in = (off_in >= 0) & ((off_in & sh) != 0)
-        keep = (off >= 0) & ((off & sh) == 0)
+        valid_in = (off_in & sh) != 0
         cols = [
             jnp.where(valid_in, _flat_shift_any(c, sh), c) for c in cols
         ]
-        off = jnp.where(valid_in, off_in - sh, jnp.where(keep, off, -1))
+        off = jnp.where(
+            valid_in,
+            off_in - sh,
+            jnp.where((off & sh) == 0, off, DROP),
+        )
     return cols
 
 
 def _lane_compact_slots(mask_i32, cols):
     """Per-128-lane-row left-pack (7 static rounds, full-tile ops).
     mask_i32: int32 0/1 (bool vectors don't concat/relayout on Mosaic).
-    Returns (packed cols, inclusive per-row counts [R, 1])."""
+    In-row ranks come from one MXU matmul; the move uses the DROP encoding
+    (see _move_compact).  Returns (packed cols, per-row counts [R, 1])."""
     li = jax.lax.broadcasted_iota(I32, mask_i32.shape, dimension=1)
-    ps = mask_i32
-    for j in range(7):
-        sh = 1 << j
-        ps = ps + jnp.where(li >= sh, pltpu.roll(ps, sh, 1), 0)
+    ps = _lane_cumsum_mxu(mask_i32).astype(I32)
     cnt = ps[:, LANES - 1 :]
-    off = jnp.where(mask_i32 != 0, li - (ps - 1), -1)
+    off = jnp.where(mask_i32 != 0, li - (ps - 1), DROP)
     cols = list(cols)
     for j in range(7):
         sh = 1 << j
         off_in = pltpu.roll(off, LANES - sh, 1)
-        valid_in = (li < LANES - sh) & (off_in >= 0) & ((off_in & sh) != 0)
-        keep = (off >= 0) & ((off & sh) == 0)
+        valid_in = (li < LANES - sh) & ((off_in & sh) != 0)
         cols = [
             jnp.where(valid_in, pltpu.roll(c, LANES - sh, 1), c)
             for c in cols
         ]
-        off = jnp.where(valid_in, off_in - sh, jnp.where(keep, off, -1))
+        off = jnp.where(
+            valid_in,
+            off_in - sh,
+            jnp.where((off & sh) == 0, off, DROP),
+        )
     return cols, cnt
 
 
@@ -246,7 +283,7 @@ def _fused_kernel(
         rank = _flat_rank_inclusive(keep_i)
         cnt = jnp.sum(keep_i)  # scalar reduction (vector->scalar extract
         # of rank[-1, -1] is not lowerable on Mosaic)
-        off = jnp.where(keep, (ri * LANES + li) - (rank - 1), -1)
+        off = jnp.where(keep, (ri * LANES + li) - (rank - 1), DROP)
         (comp,) = _move_compact(off, [packed], _nbits(br * LANES))
     else:
         comp = packed

@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_scan import (
+    DROP,
     I32,
     LANES,
     _flat_rank_inclusive,
@@ -43,7 +44,7 @@ def _slot_compact_kernel(mask_ref, *refs, k_cols: int, mr: int, G: int):
     cnt = jnp.sum(m)
     ri = jax.lax.broadcasted_iota(I32, m.shape, dimension=0)
     li = jax.lax.broadcasted_iota(I32, m.shape, dimension=1)
-    off = jnp.where(m != 0, (ri * LANES + li) - (rank - 1), -1)
+    off = jnp.where(m != 0, (ri * LANES + li) - (rank - 1), DROP)
     cols = [r[0] for r in col_refs]
     cols = _move_compact(off, cols, _nbits(G * LANES))
     for c, oref in zip(cols, out_refs):

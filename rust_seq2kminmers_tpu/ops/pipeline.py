@@ -274,22 +274,25 @@ def _fused_pipeline(
     HPC + NtHash + select + per-row slot compaction, ops/pallas/
     fused_scan.py) + a small second compaction of the slot arrays; only the
     [B, M] assembly stage stays in XLA."""
-    from .hpc import hpc_keep_mask
     from .pallas.fused_scan import fused_minimizer_scan, slots_for_density
 
     B, L = codes.shape
     l, k = spec.l, spec.k
 
-    if spec.is_hpc:
-        # Cheap pre-pass: HPC length per read (one fused reduction).
-        eff_len = hpc_keep_mask(codes, lengths).sum(axis=-1).astype(I32)
-    else:
-        eff_len = lengths
-
     # Window-start limit per mode (gate: no windows unless orig len > l,
-    # src/lib.rs:97; hpc mode drops the last HPC window).
-    limit = eff_len - l - (1 if spec.mode == "hpc" else 0)
-    limit = jnp.where(lengths > l, limit, -1).astype(I32)
+    # src/lib.rs:97; hpc mode drops the last HPC window).  For the HPC
+    # modes no separate keep-mask pre-pass is needed: the kernel's kept
+    # stream ends exactly at the HPC length (pad/beyond-length chars are
+    # never kept), so its per-block "window fully inside the kept stream"
+    # bound already enforces i <= eff_len - l (hpcsimd), and the hpc-mode
+    # one-past-last-element emission convention drops the final window
+    # (i < eff_len - l) without ever knowing eff_len.  Only the raw-length
+    # gate remains.  Non-HPC modes hash every padded position, so they
+    # still need the explicit per-read window limit.
+    if spec.is_hpc:
+        limit = jnp.where(lengths > l, jnp.int32(1 << 30), -1).astype(I32)
+    else:
+        limit = jnp.where(lengths > l, lengths - l, -1).astype(I32)
 
     m_cap = spec.capacity_for(L)
     if m_cap < k:
