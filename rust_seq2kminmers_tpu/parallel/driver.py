@@ -85,21 +85,30 @@ def merge_ordered(result: ShardedKminmers) -> dict:
     end = np.asarray(b.end)
     rev = np.asarray(b.rev)
 
+    # Vectorized O(total) stitch: every output slot's (read, within-read
+    # offset) pair is derived from the counts alone, then one fancy-index
+    # gathers each column.  `bases` may be any permutation-consistent offset
+    # assignment (e.g. the global cross-host offsets), so scatter via bases
+    # rather than assuming bases == cumsum(counts).
+    counts = counts.astype(np.int64)
+    read_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    seg_start = np.repeat(
+        np.cumsum(counts) - counts, counts
+    )  # packed start of each element's segment
+    off_in_read = np.arange(counts.sum(), dtype=np.int64) - seg_start
+    dest = np.repeat(bases.astype(np.int64), counts) + off_in_read
     out_h = np.zeros(total, dtype=np.uint64)
     out_s = np.zeros(total, dtype=np.int64)
     out_e = np.zeros(total, dtype=np.int64)
     out_o = np.zeros(total, dtype=np.int64)
     out_r = np.zeros(total, dtype=bool)
     out_read = np.zeros(total, dtype=np.int64)
-    for i in range(len(counts)):
-        n = counts[i]
-        sl = slice(bases[i], bases[i] + n)
-        out_h[sl] = hashes[i, :n]
-        out_s[sl] = start[i, :n]
-        out_e[sl] = end[i, :n]
-        out_o[sl] = np.arange(n)
-        out_r[sl] = rev[i, :n]
-        out_read[sl] = i
+    out_h[dest] = hashes[read_of, off_in_read]
+    out_s[dest] = start[read_of, off_in_read]
+    out_e[dest] = end[read_of, off_in_read]
+    out_o[dest] = off_in_read
+    out_r[dest] = rev[read_of, off_in_read]
+    out_read[dest] = read_of
     return {
         "hash": out_h,
         "start": out_s,

@@ -7,13 +7,10 @@ and against the pure-XLA pipeline stages.
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 
 from rust_seq2kminmers_tpu.ops.pallas.compact_kernel import masked_compact
-from rust_seq2kminmers_tpu.ops.pallas.minimizer_kernel import minimizer_scan
-from rust_seq2kminmers_tpu.ops.nthash import sliding_nthash32
 
 
 def _np_compact(mask, vals, m):
@@ -89,74 +86,3 @@ def test_masked_compact_overflow_truncates():
     )
     assert int(cnt[0]) == 2048  # raw count reports the overflow
     assert (np.asarray(pv)[0, :256] == vals[0, :256]).all()
-
-
-@pytest.mark.parametrize("strict", [False, True])
-@pytest.mark.parametrize("l", [5, 31])
-def test_minimizer_scan_matches_xla(rng, strict, l):
-    B, N, m = 3, 4096, 512
-    bound = 0x10000000
-    codes = rng.integers(0, 4, size=(B, N)).astype(np.uint8)
-    lengths = np.array([N, N - 777, l], dtype=np.int32)  # last row gated off
-
-    fh, rh = jax.jit(lambda c: sliding_nthash32(c, l))(jnp.asarray(codes))
-    h = np.asarray(jnp.minimum(fh, rh))
-
-    packed = (np.arange(N, dtype=np.int32)[None, :] << 3) | codes.astype(
-        np.int32
-    )
-    limit = np.where(lengths > l, lengths - l, -1).astype(np.int32)
-    s, e, hh, cnt = minimizer_scan(
-        jnp.asarray(packed),
-        jnp.asarray(limit),
-        l,
-        bound,
-        strict,
-        False,
-        m,
-        interpret=True,
-    )
-    s, e, hh, cnt = map(np.asarray, (s, e, hh, cnt))
-    for b in range(B):
-        nwin = lengths[b] - l + 1 if lengths[b] > l else 0
-        hb = h[b, :nwin]
-        sel = (hb < bound) if strict else (hb <= bound)
-        idx = np.nonzero(sel)[0]
-        assert cnt[b] == len(idx)
-        n = min(len(idx), m)
-        assert (s[b, :n] == idx[:n]).all()
-        assert (e[b, :n] == idx[:n] + l - 1).all()
-        assert (hh[b, :n].view(np.uint32) == hb[idx[:n]]).all()
-
-
-def test_minimizer_scan_hpc_end_convention(rng):
-    """hpc_end=True must report end = pos[w + l] - 1 (start of the run after
-    the window's last mer, minus one — reference src/nthash_hpc.rs:281)."""
-    B, N, l, m = 1, 2048, 7, 256
-    # a fake HPC pos map: strictly increasing with random run lengths
-    runs = rng.integers(1, 4, size=N).astype(np.int32)
-    pos = np.concatenate([[0], np.cumsum(runs)[:-1]]).astype(np.int32)
-    codes = rng.integers(0, 4, size=(B, N)).astype(np.uint8)
-    packed = (pos[None, :] << 3) | codes.astype(np.int32)
-    eff = np.array([N - 300], dtype=np.int32)
-    bound = 0x20000000
-
-    fh, rh = jax.jit(lambda c: sliding_nthash32(c, l))(jnp.asarray(codes))
-    h = np.asarray(jnp.minimum(fh, rh))[0]
-
-    limit = eff - l - 1  # hpc mode drops the last window
-    s, e, hh, cnt = minimizer_scan(
-        jnp.asarray(packed),
-        jnp.asarray(limit),
-        l,
-        bound,
-        False,
-        True,
-        m,
-        interpret=True,
-    )
-    idx = np.nonzero(h[: eff[0] - l] <= bound)[0]
-    n = min(len(idx), m)
-    assert int(cnt[0]) == len(idx)
-    assert (np.asarray(s)[0, :n] == pos[idx[:n]]).all()
-    assert (np.asarray(e)[0, :n] == pos[idx[:n] + l] - 1).all()
