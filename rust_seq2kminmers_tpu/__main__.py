@@ -48,6 +48,7 @@ def run_file(filename: str, nb_threads: int):
     import jax
     import jax.numpy as jnp
 
+    from .constants import XCODE_PAD, family_of_mode
     from .io.fasta import FastaFile
     from .ops.pipeline import PipelineSpec, kminmer_pipeline
 
@@ -69,11 +70,12 @@ def run_file(filename: str, nb_threads: int):
         )
         fn = jax.jit(lambda c, n: kminmer_pipeline(c, n, spec))
         batch = 64
-        for codes, lengths, _first in f.batches(batch, pad, nb_threads):
+        fam = family_of_mode(spec.mode)
+        for codes, lengths, _first in f.batches(batch, pad, nb_threads, fam):
             if codes.shape[0] < batch:  # pad last batch to the static shape
                 padrows = batch - codes.shape[0]
                 codes = np.concatenate(
-                    [codes, np.full((padrows, pad), 6, np.uint8)]
+                    [codes, np.full((padrows, pad), XCODE_PAD, codes.dtype)]
                 )
                 lengths = np.concatenate(
                     [lengths, np.zeros(padrows, np.int64)]

@@ -15,7 +15,7 @@ from typing import Iterator, List
 
 import numpy as np
 
-from .constants import CODE_PAD, encode_bases
+from .constants import XCODE_PAD, encode_xcodes, family_of_mode
 from .oracle import HashMode, KminmerRecord
 from .oracle import kminmers as _oracle_kminmers
 from .ops.pipeline import PipelineSpec, make_pipeline
@@ -53,6 +53,61 @@ def _cached_pipeline(spec: PipelineSpec):
     return make_pipeline(spec)
 
 
+def _round_cap(n: int) -> int:
+    """Round capacities to powers of two to bound distinct compilations."""
+    c = 128
+    while c < n:
+        c *= 2
+    return c
+
+
+def kminmers_batch(codes, lengths, spec, max_retries: int = 8):
+    """Run the batched pipeline with overflow recovery: if any read's
+    selected minimizers overflowed the per-row survivor slots or the
+    compacted capacity M, re-run with doubled slots / the exact required
+    capacity until nothing is dropped (the reference never drops a
+    minimizer — its drain buffers grow per survivor,
+    src/nthash_avx512_32.rs:139-141).
+
+    Returns a KminmerBatch whose n_minimizers == n_minimizers_raw row-wise.
+    Capacities are rounded to powers of two so the retry loop compiles at
+    most a handful of distinct shapes across a file.
+    """
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    codes = jnp.asarray(codes)
+    lengths = jnp.asarray(np.asarray(lengths, dtype=np.int32))
+    for _ in range(max_retries):
+        out = _cached_pipeline(spec)(codes, lengths)
+        n_raw = np.asarray(out.n_minimizers_raw)
+        n_min = np.asarray(out.n_minimizers)
+        if (n_min >= n_raw).all():
+            return out
+        changes = {}
+        m_cap = spec.capacity_for(codes.shape[1])
+        worst = int(n_raw.max())
+        if worst > m_cap:
+            changes["max_minimizers"] = _round_cap(worst)
+        # rows that lost elements before the M clip overflowed their slots
+        if (n_min < np.minimum(n_raw, m_cap)).any():
+            from .ops.pallas.fused_scan import slots_for_density
+
+            cur = (
+                spec.slots
+                if spec.slots is not None
+                else slots_for_density(spec.density)
+            )
+            changes["slots"] = min(128, cur * 2)
+        if not changes:  # pragma: no cover — defensive
+            return out
+        spec = _dc.replace(spec, **changes)
+    raise RuntimeError(
+        f"minimizer overflow not resolved after {max_retries} retries"
+    )
+
+
 def kminmers_list(
     seq,
     l: int,
@@ -82,27 +137,27 @@ def kminmers_list(
     if backend == "oracle":
         return _oracle_kminmers(seq, l, k, density, mode, hash_width, variant)
 
-    import jax.numpy as jnp
-
-    codes = encode_bases(seq)
+    if isinstance(seq, np.ndarray) and np.issubdtype(seq.dtype, np.integer):
+        codes = seq.astype(np.uint16, copy=False)  # pre-encoded xcodes
+    else:
+        codes = encode_xcodes(seq, family_of_mode(mode.value))
     n = len(codes)
     if n <= l:
         return []
     L = _bucket_length(max(n, l + 1))
-    padded = np.full((1, L), CODE_PAD, dtype=np.uint8)
+    padded = np.full((1, L), XCODE_PAD, dtype=np.uint16)
     padded[0, :n] = codes
-    nwin = L - l + 1
     spec = PipelineSpec(
         l=l,
         k=k,
         density=density,
         mode=mode.value,
-        max_minimizers=nwin,  # exact-capacity: never drops minimizers
         hash_width=hash_width,
         variant=variant,
     )
-    fn = _cached_pipeline(spec)
-    out = fn(jnp.asarray(padded), jnp.asarray(np.array([n], dtype=np.int32)))
+    # Density-estimated capacity + overflow-recovery retries: never drops a
+    # minimizer, without brute-force worst-case capacity.
+    out = kminmers_batch(padded, np.array([n], dtype=np.int32), spec)
     nk = int(out.n_kminmers[0])
     if nk == 0:
         return []

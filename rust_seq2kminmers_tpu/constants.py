@@ -106,18 +106,39 @@ SEED_TABLE_R = np.array(
     [SEED_T, SEED_G, SEED_C, SEED_A, 0, 1, 0], dtype=np.uint32
 )
 
-# byte -> code table for ASCII input.  Uppercase and lowercase ACGT map to
-# their code (the scalar tables only populate uppercase, so lowercase is
-# OTHER there; but lowercase never appears in the supported inputs — we map
-# lowercase to the same base like the SIMD LUT does via `& 0x0f`,
-# src/nthash_avx512_32.rs:190-192).
-BYTE_TO_CODE = np.full(256, CODE_OTHER, dtype=np.uint8)
+# ---------------------------------------------------------------------------
+# Per-mode-family byte -> 3-bit hash-code tables.
+#
+# The reference has TWO distinct byte conventions:
+#   * scalar paths (Regular via the nthash32 crate, Hpc via the fused
+#     iterator): 256-entry lookup with default seed 1 and ONLY uppercase
+#     ACGT + N populated (src/nthash_hpc.rs:30-49) — lowercase and every
+#     other byte hash as "other" (seed 1).
+#   * SIMD paths (Simd/HpcSimd): the 16-entry low-nibble LUT
+#     `_mm_set_epi8(4,4,4,4,4,4,4,4, 2,4,4,3, 1,4,0,4)` applied to
+#     `byte & 0x0f` (src/nthash_avx512_32.rs:178-193) — case-folded, and
+#     EVERY non-base nibble maps to code 4 (N, seed 0); e.g. b'Q' (& 15 ==
+#     1) hashes as 'A'.
+BYTE_TO_CODE_SCALAR = np.full(256, CODE_OTHER, dtype=np.uint8)
 for _b, _c in [
     (ord("A"), CODE_A),
     (ord("C"), CODE_C),
     (ord("G"), CODE_G),
     (ord("T"), CODE_T),
     (ord("N"), CODE_N),
+]:
+    BYTE_TO_CODE_SCALAR[_b] = _c
+
+# nibble -> code, args of the reference _mm_set_epi8 reversed (e0 first).
+_SIMD_NIBBLE_LUT = np.array(
+    [4, 0, 4, 1, 3, 4, 4, 2, 4, 4, 4, 4, 4, 4, 4, 4], dtype=np.uint8
+)
+BYTE_TO_CODE_SIMD = _SIMD_NIBBLE_LUT[np.arange(256) & 0x0F]
+
+# Legacy single-table alias (case-folded, other->OTHER); retained for
+# synthetic/test helpers only — the pipeline encoders below are per-family.
+BYTE_TO_CODE = BYTE_TO_CODE_SCALAR.copy()
+for _b, _c in [
     (ord("a"), CODE_A),
     (ord("c"), CODE_C),
     (ord("g"), CODE_G),
@@ -128,15 +149,55 @@ for _b, _c in [
 
 CODE_TO_BYTE = np.frombuffer(b"ACGTN??", dtype=np.uint8).copy()
 
+# ---------------------------------------------------------------------------
+# xcode representation: the pipeline input value for one base is
+#     xcode = (byte_id << 3) | hash_code3
+# so the HPC keep-mask (which compares whole xcodes) sees full raw-byte
+# identity — runs of *distinct* non-ACGTN bytes survive exactly as in the
+# reference, which compares raw bytes (src/nthash_hpc.rs:253-263,
+# src/hpc.rs:88) — while every hashing site reads only the low 3 bits.
+# Plain 3-bit codes (byte_id == 0) remain valid degenerate xcodes, so
+# synthetic ACGT tensors and the historical uint8 format still work.
+XCODE_PAD = (256 << 3) | CODE_PAD  # pad pseudo-byte: id 256, code 6
 
-def encode_bases(seq: bytes | str | np.ndarray) -> np.ndarray:
-    """ASCII sequence -> uint8 code array (A=0 C=1 G=2 T=3 N=4 other=5)."""
+_BYTE_IDS = np.arange(256, dtype=np.uint16) << 3
+XCODE_TABLE_SCALAR = _BYTE_IDS | BYTE_TO_CODE_SCALAR
+XCODE_TABLE_SIMD = _BYTE_IDS | BYTE_TO_CODE_SIMD
+
+
+def family_of_mode(mode: str) -> str:
+    """Hash-table family of a mode: scalar (regular/hpc) or simd."""
+    return "simd" if mode in ("simd", "hpcsimd") else "scalar"
+
+
+def xcode_table(family: str) -> np.ndarray:
+    if family == "scalar":
+        return XCODE_TABLE_SCALAR
+    if family == "simd":
+        return XCODE_TABLE_SIMD
+    raise ValueError(f"unknown table family {family!r}")
+
+
+def _to_byte_array(seq: bytes | str | np.ndarray) -> np.ndarray:
     if isinstance(seq, str):
-        seq = seq.encode()
-    arr = np.frombuffer(bytes(seq), dtype=np.uint8) if not isinstance(
+        seq = seq.encode("latin-1")
+    return np.frombuffer(bytes(seq), dtype=np.uint8) if not isinstance(
         seq, np.ndarray
     ) else seq.astype(np.uint8, copy=False)
-    return BYTE_TO_CODE[arr]
+
+
+def encode_xcodes(
+    seq: bytes | str | np.ndarray, family: str = "scalar"
+) -> np.ndarray:
+    """ASCII sequence -> uint16 xcode array ((byte << 3) | hash_code)."""
+    return xcode_table(family)[_to_byte_array(seq)]
+
+
+def encode_bases(seq: bytes | str | np.ndarray) -> np.ndarray:
+    """ASCII sequence -> uint8 3-bit code array (legacy case-folded table:
+    A=0 C=1 G=2 T=3 N=4 other=5).  Exact for ACGTN-only uppercase input;
+    use encode_xcodes for full per-family byte fidelity."""
+    return BYTE_TO_CODE[_to_byte_array(seq)]
 
 
 def hash_bound_u32(density: float) -> int:

@@ -16,7 +16,7 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from ..constants import BYTE_TO_CODE, CODE_PAD
+from ..constants import BYTE_TO_CODE, CODE_PAD, XCODE_PAD, xcode_table
 
 _NATIVE_DIR = Path(__file__).parent / "native"
 _SRC = _NATIVE_DIR / "fasta_reader.cpp"
@@ -62,6 +62,12 @@ def _load_native():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64,
+            ]
+            lib.s2k_pack16.restype = ctypes.c_int64
+            lib.s2k_pack16.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_uint16,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ]
             lib.s2k_close.restype = None
             lib.s2k_close.argtypes = [ctypes.c_void_p]
@@ -118,41 +124,71 @@ class FastaFile:
         count: Optional[int] = None,
         max_len: Optional[int] = None,
         threads: int = 0,
+        family: Optional[str] = "scalar",
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """-> (codes uint8[count, max_len] padded with CODE_PAD,
-               lengths int64[count] clipped to max_len)."""
+        """-> (codes[count, max_len], lengths int64[count] clipped).
+
+        family="scalar"|"simd" (default scalar) packs exact-fidelity uint16
+        xcodes ((byte << 3) | per-family hash code, padded with XCODE_PAD);
+        family=None packs the legacy quantized uint8 codes (case-folded,
+        non-ACGTN -> OTHER, padded with CODE_PAD)."""
         n = len(self)
         if count is None:
             count = n - first
         count = max(0, min(count, n - first))
         if max_len is None:
             max_len = self.max_seq_len()
-        codes = np.empty((count, max_len), dtype=np.uint8)
+        dt = np.uint8 if family is None else np.uint16
+        codes = np.empty((count, max_len), dtype=dt)
         lengths = np.empty(count, dtype=np.int64)
         if count == 0:
             return codes, lengths
         if self.native:
-            got = self._lib.s2k_pack(
-                self._handle,
-                first,
-                count,
-                max_len,
-                codes.ctypes.data_as(ctypes.c_void_p),
-                lengths.ctypes.data_as(ctypes.c_void_p),
-                threads,
-            )
+            if family is None:
+                got = self._lib.s2k_pack(
+                    self._handle,
+                    first,
+                    count,
+                    max_len,
+                    codes.ctypes.data_as(ctypes.c_void_p),
+                    lengths.ctypes.data_as(ctypes.c_void_p),
+                    threads,
+                )
+            else:
+                table = np.ascontiguousarray(xcode_table(family))
+                got = self._lib.s2k_pack16(
+                    self._handle,
+                    first,
+                    count,
+                    max_len,
+                    table.ctypes.data_as(ctypes.c_void_p),
+                    XCODE_PAD,
+                    codes.ctypes.data_as(ctypes.c_void_p),
+                    lengths.ctypes.data_as(ctypes.c_void_p),
+                    threads,
+                )
             assert got == count
         else:
+            table = (
+                BYTE_TO_CODE if family is None else xcode_table(family)
+            )
+            pad = CODE_PAD if family is None else XCODE_PAD
             for i in range(count):
                 _, s = self._py_records[first + i]
-                b = np.frombuffer(s.encode(), dtype=np.uint8)[:max_len]
-                codes[i, : len(b)] = BYTE_TO_CODE[b]
-                codes[i, len(b):] = CODE_PAD
+                b = np.frombuffer(
+                    s.encode("latin-1"), dtype=np.uint8
+                )[:max_len]
+                codes[i, : len(b)] = table[b]
+                codes[i, len(b):] = pad
                 lengths[i] = len(b)
         return codes, lengths
 
     def batches(
-        self, batch_size: int, max_len: Optional[int] = None, threads: int = 0
+        self,
+        batch_size: int,
+        max_len: Optional[int] = None,
+        threads: int = 0,
+        family: Optional[str] = "scalar",
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
         """Yield (codes, lengths, first_record_index) over the whole file."""
         if max_len is None:
@@ -160,7 +196,7 @@ class FastaFile:
         n = len(self)
         for first in range(0, n, batch_size):
             codes, lengths = self.pack(
-                first, min(batch_size, n - first), max_len, threads
+                first, min(batch_size, n - first), max_len, threads, family
             )
             yield codes, lengths, first
 

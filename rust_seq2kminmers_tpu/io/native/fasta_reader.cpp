@@ -115,14 +115,15 @@ void index_fastq(File* f) {
   }
 }
 
-void pack_one(const File& f, const Record& r, uint8_t* out, int64_t max_len,
-              int64_t* out_len) {
+template <typename T>
+void pack_one(const File& f, const Record& r, const T* table, T pad, T* out,
+              int64_t max_len, int64_t* out_len) {
   const char* s = f.data + r.seq_off;
   int64_t n = 0;
   if (!r.multiline) {
     int64_t take = std::min<int64_t>(r.seq_len, max_len);
     for (int64_t i = 0; i < take; i++)
-      out[i] = kCodes.t[static_cast<uint8_t>(s[i])];
+      out[i] = table[static_cast<uint8_t>(s[i])];
     n = take;
   } else {
     const char* end = f.data + r.seq_end;
@@ -131,13 +132,40 @@ void pack_one(const File& f, const Record& r, uint8_t* out, int64_t max_len,
       const char* eol = find_eol(q, end);
       int64_t take = std::min<int64_t>(eol - q, max_len - n);
       for (int64_t i = 0; i < take; i++)
-        out[n + i] = kCodes.t[static_cast<uint8_t>(q[i])];
+        out[n + i] = table[static_cast<uint8_t>(q[i])];
       n += take;
       q = eol + 1;
     }
   }
-  memset(out + n, CODE_PAD, max_len - n);
+  for (int64_t i = n; i < max_len; i++) out[i] = pad;
   *out_len = n;
+}
+
+template <typename T>
+int64_t pack_range(File* f, int64_t first, int64_t count, int64_t max_len,
+                   const T* table, T pad, T* codes, int64_t* lengths,
+                   int64_t threads) {
+  int64_t n_rec = f->records.size();
+  if (first >= n_rec) return 0;
+  count = std::min(count, n_rec - first);
+  if (threads <= 0)
+    threads = std::max(1u, std::thread::hardware_concurrency());
+  threads = std::min<int64_t>(threads, count);
+
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= count) return;
+      pack_one<T>(*f, f->records[first + i], table, pad, codes + i * max_len,
+                  max_len, &lengths[i]);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int64_t t = 1; t < threads; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  return count;
 }
 
 }  // namespace
@@ -201,31 +229,23 @@ int64_t s2k_name(void* h, int64_t i, char* buf, int64_t cap) {
 
 // Pack records [first, first+count) into codes[count, max_len] (uint8,
 // caller-allocated, row-major) and lengths[count] (int64), using up to
-// `threads` worker threads.  Returns count actually packed.
+// `threads` worker threads.  Returns count actually packed.  Legacy
+// quantized-code format (case-folded, all non-ACGTN -> OTHER).
 int64_t s2k_pack(void* h, int64_t first, int64_t count, int64_t max_len,
                  uint8_t* codes, int64_t* lengths, int64_t threads) {
-  File* f = static_cast<File*>(h);
-  int64_t n_rec = f->records.size();
-  if (first >= n_rec) return 0;
-  count = std::min(count, n_rec - first);
-  if (threads <= 0)
-    threads = std::max(1u, std::thread::hardware_concurrency());
-  threads = std::min<int64_t>(threads, count);
+  return pack_range<uint8_t>(static_cast<File*>(h), first, count, max_len,
+                             kCodes.t, CODE_PAD, codes, lengths, threads);
+}
 
-  std::atomic<int64_t> next(0);
-  auto worker = [&]() {
-    for (;;) {
-      int64_t i = next.fetch_add(1);
-      if (i >= count) return;
-      pack_one(*f, f->records[first + i], codes + i * max_len, max_len,
-               &lengths[i]);
-    }
-  };
-  std::vector<std::thread> pool;
-  for (int64_t t = 1; t < threads; t++) pool.emplace_back(worker);
-  worker();
-  for (auto& t : pool) t.join();
-  return count;
+// Same, but through a caller-provided 256-entry uint16 byte->xcode table
+// ((byte << 3) | hash_code, see constants.py) and an explicit pad value —
+// the exact-fidelity format where the HPC keep-mask sees full raw-byte
+// identity and the hash code convention is per mode family.
+int64_t s2k_pack16(void* h, int64_t first, int64_t count, int64_t max_len,
+                   const uint16_t* table, uint16_t pad, uint16_t* codes,
+                   int64_t* lengths, int64_t threads) {
+  return pack_range<uint16_t>(static_cast<File*>(h), first, count, max_len,
+                              table, pad, codes, lengths, threads);
 }
 
 void s2k_close(void* h) {

@@ -66,7 +66,7 @@ def pack_pos_code(codes: jnp.ndarray) -> jnp.ndarray:
     if L >= (1 << 28):
         raise ValueError("padded length must be < 2^28 for packed streams")
     j = jnp.arange(L, dtype=I32)[None, :]
-    return (jnp.broadcast_to(j, (B, L)) << 3) | codes.astype(I32)
+    return (jnp.broadcast_to(j, (B, L)) << 3) | (codes.astype(I32) & 7)
 
 
 def hpc_compress_packed(

@@ -117,6 +117,13 @@ def assemble_kminmers_pallas(
         raise ValueError(f"minimizer capacity {M} < k={k}")
     Bp = -(-B // SUBB) * SUBB
     Mp = -(-M // 128) * 128
+    if Mp > 32768:
+        # A [SUBB, Mp] block would exceed scoped VMEM (~16 MB across the
+        # ~14 live tiles); capacities this large only occur on rare
+        # brute-force paths, so use the pure-XLA assembly there.
+        from ..assemble import assemble_kminmers
+
+        return assemble_kminmers(min_hash, k)
     x = min_hash
     if (Bp, Mp) != (B, M):
         x = jnp.pad(x, ((0, Bp - B), (0, Mp - M)))

@@ -270,11 +270,15 @@ def _fused_kernel(
     limit = limit_ref[b]
 
     P0 = 8 * LANES  # pending prefix: 8 aligned rows, data in row 7 only
-    main = codes_ref[0].astype(I32)  # [br, 128] codes 0..6
+    # main holds xcodes ((byte_id << 3) | code, constants.py): the keep-mask
+    # compares them whole (full raw-byte identity, like the reference's
+    # raw-byte run comparison at src/nthash_hpc.rs:253-263); hashing and the
+    # packed stream read only the low 3 code bits.
+    main = codes_ref[0].astype(I32)  # [br, 128] xcodes
     ri = jax.lax.broadcasted_iota(I32, main.shape, dimension=0)
     li = jax.lax.broadcasted_iota(I32, main.shape, dimension=1)
     absj = t * (br * LANES) + ri * LANES + li
-    packed = (absj << 3) | main
+    packed = (absj << 3) | (main & 7)
 
     if do_hpc:
         prev = _flat_shift_back(main, last_raw)

@@ -72,7 +72,10 @@ def slot_compact(
         cols = [jnp.pad(c, ((0, 0), (0, pad))) for c in cols]
         N += pad
     G = N // LANES
-    mr = -(-m // LANES) + 2
+    # The packed stream can never exceed the N input slots: cap the kernel
+    # output rows at G and pad host-side when the caller's capacity m is
+    # larger (e.g. the exact-capacity single-read API path).
+    mr = min(-(-m // LANES) + 2, G)
     k_cols = len(cols)
 
     in_spec = pl.BlockSpec(
@@ -103,4 +106,8 @@ def slot_compact(
     )
     counts = outs[k_cols][:, 0, 0]
     packed = [o.reshape(B, mr * LANES) for o in outs[:k_cols]]
+    if mr * LANES < m:
+        packed = [
+            jnp.pad(p, ((0, 0), (0, m - mr * LANES))) for p in packed
+        ]
     return packed, counts

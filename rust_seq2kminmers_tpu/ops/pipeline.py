@@ -65,6 +65,10 @@ class PipelineSpec:
     # "nthash1" (default) or "nthash2" — the 31-bit-rotate hybrid
     # (reference src/nthash2_avx512_32.rs) for l > 31 support.
     variant: str = "nthash1"
+    # Survivor slots per 128-lane row in the fused kernel (None = derived
+    # from density).  Raised by the overflow-recovery retry loop (api.py)
+    # when a dense region overflows its row's slots.
+    slots: Optional[int] = None
 
     def __post_init__(self):
         if self.mode not in ("regular", "hpc", "simd", "hpcsimd"):
@@ -298,7 +302,11 @@ def _fused_pipeline(
     if m_cap < k:
         raise ValueError(f"minimizer capacity {m_cap} < k={k}")
     interpret = jax.default_backend() != "tpu"
-    nslots = slots_for_density(spec.density)
+    nslots = (
+        min(128, -(-spec.slots // 8) * 8)
+        if spec.slots is not None
+        else slots_for_density(spec.density)
+    )
     # regular/simd: end == start + l - 1, derived after compaction — the
     # whole end column is skipped through both kernels.
     emit_end = spec.is_hpc

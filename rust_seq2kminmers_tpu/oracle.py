@@ -34,13 +34,14 @@ import numpy as np
 from .constants import (
     SEED_TABLE_F,
     SEED_TABLE_R,
-    encode_bases,
+    family_of_mode,
     hash_bound,
     hash_bound_nthash2_31,
     hash_bound_simd_u32,
     hash_bound_u32,
     seed_tables,
     seed_tables_nthash2_31,
+    xcode_table,
 )
 
 
@@ -275,9 +276,23 @@ def minimizers(
         raise ValueError(f"unknown variant {variant!r}")
     if variant == "nthash2" and hash_width != 32:
         raise ValueError("nthash2 variant is 32-bit-lane only")
-    codes = encode_bases(seq) if not (
-        isinstance(seq, np.ndarray) and seq.dtype == np.uint8 and seq.max(initial=0) < 8
-    ) else seq
+    # Two views of the input: `ids` carry full byte identity (what the HPC
+    # keep-mask compares — the reference compares raw bytes,
+    # src/nthash_hpc.rs:253-263, src/hpc.rs:88) and `codes` carry the
+    # per-mode-family 3-bit hash code (scalar table: uppercase-only,
+    # src/nthash_hpc.rs:30-49; SIMD: case-folding low-nibble LUT,
+    # src/nthash_avx512_32.rs:178-193).  A pre-encoded integer array is
+    # taken verbatim as xcodes ((id << 3) | code; plain 3-bit codes are the
+    # degenerate id-0 case).
+    if isinstance(seq, np.ndarray) and np.issubdtype(seq.dtype, np.integer):
+        ids = seq.astype(np.int64)
+        codes = (ids & 7).astype(np.uint8)
+    else:
+        x = xcode_table(family_of_mode(mode.value))
+        if isinstance(seq, str):
+            seq = seq.encode("latin-1")
+        ids = x[np.frombuffer(bytes(seq), dtype=np.uint8)].astype(np.int64)
+        codes = (ids & 7).astype(np.uint8)
     n = len(codes)
     out: List[Tuple[int, int, int]] = []
     # KminmersIterator::new constructs no sub-iterator unless seq.len() > l
@@ -312,7 +327,9 @@ def minimizers(
             out.append((int(i), int(i) + l - 1, int(h[i])))
         return out
 
-    hpc_codes, pos = hpc_compress(codes)
+    # HPC keep-mask over full byte identities; hashes over the 3-bit codes.
+    _, pos = hpc_compress(ids)
+    hpc_codes = codes[pos]
     m = len(hpc_codes)
     if m < l:
         return out

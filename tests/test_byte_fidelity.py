@@ -1,0 +1,183 @@
+"""Byte-level fidelity tests: non-ACGTN bytes and lowercase must follow the
+reference's per-path conventions exactly.
+
+The reference compares RAW bytes when collapsing homopolymer runs
+(src/nthash_hpc.rs:253-263 `seq[j] == prev`; src/hpc.rs:88 SIMD cmpeq on raw
+bytes), so adjacent *distinct* non-ACGTN bytes ("AXYA") survive HPC.  Hash
+seeds differ per path: the scalar 256-entry tables populate only uppercase
+ACGT + N (default seed 1, src/nthash_hpc.rs:30-49) while the SIMD path maps
+`byte & 0x0f` through a 16-entry LUT (case-folded; every non-base nibble ->
+N's seed 0, src/nthash_avx512_32.rs:178-193).
+
+These tests validate the repo against an INDEPENDENT literal-semantics
+implementation below (plain Python ints, per-window recomputation — no code
+shared with oracle.py's vectorized prefix-scan formulation).
+"""
+
+import numpy as np
+import pytest
+
+from rust_seq2kminmers_tpu.api import kminmers_list
+from rust_seq2kminmers_tpu.constants import (
+    XCODE_TABLE_SCALAR,
+    XCODE_TABLE_SIMD,
+    hash_bound_simd_u32,
+    hash_bound_u32,
+)
+from rust_seq2kminmers_tpu.oracle import HashMode
+
+M32 = 0xFFFFFFFF
+M64 = 0xFFFFFFFFFFFFFFFF
+
+# The published 64-bit NtHash1 seeds, truncated to u32 (reference
+# src/nthash_hpc.rs:32-36 `as H` cast).
+SA, SC, SG, ST = (
+    0x95C60474, 0x62A02B4C, 0x82572324, 0x4BE24456,
+)
+SCALAR_H = {ord("A"): SA, ord("C"): SC, ord("G"): SG, ord("T"): ST,
+            ord("N"): 0}
+SCALAR_RC = {ord("A"): ST, ord("C"): SG, ord("G"): SC, ord("T"): SA,
+             ord("N"): 0}
+# SIMD nibble LUT (reference src/nthash_avx512_32.rs:183-184), e0-first.
+NIB = [4, 0, 4, 1, 3, 4, 4, 2] + [4] * 8
+CODE_SEED_F = [SA, SC, SG, ST, 0, 1, 0, 0]
+CODE_SEED_R = [ST, SG, SC, SA, 0, 1, 0, 0]
+
+
+def rol32(x, r):
+    r %= 32
+    return ((x << r) | (x >> (32 - r))) & M32 if r else x
+
+
+def rol64(x, r):
+    r %= 64
+    return ((x << r) | (x >> (64 - r))) & M64 if r else x
+
+
+def seeds_of(byte, family):
+    if family == "scalar":
+        return SCALAR_H.get(byte, 1), SCALAR_RC.get(byte, 1)
+    c = NIB[byte & 0x0F]
+    return CODE_SEED_F[c], CODE_SEED_R[c]
+
+
+def window_hash(bts, family):
+    """Canonical 32-bit NtHash1 of one l-window, directly from the XOR-of-
+    rotated-seeds closed form (src/nthash_hpc.rs:144,168,231)."""
+    l = len(bts)
+    fh = rh = 0
+    for t, b in enumerate(bts):
+        h, rc = seeds_of(b, family)
+        fh ^= rol32(h, l - 1 - t)
+        rh ^= rol32(rc, t)
+    return min(fh, rh)
+
+
+def mix32(x):
+    x ^= (x << 13) & M64
+    x ^= x >> 7
+    x ^= (x << 17) & M64
+    return x
+
+
+def ref_kminmers(seq, l, k, density, mode):
+    """Literal-semantics k-min-mers, per-window recomputation."""
+    raw = list(seq.encode("latin-1"))
+    n = len(raw)
+    if n <= l:
+        return []
+    family = "simd" if mode in ("simd", "hpcsimd") else "scalar"
+    if mode in ("hpc", "hpcsimd"):
+        pos = [i for i in range(n) if i == 0 or raw[i] != raw[i - 1]]
+        stream = [raw[i] for i in pos]
+    else:
+        pos = list(range(n))
+        stream = raw
+    m = len(stream)
+    mins = []
+    if mode == "regular":
+        bound, strict, last = hash_bound_u32(density), False, m - l
+    elif mode == "simd":
+        bound, strict, last = hash_bound_simd_u32(density), True, m - l
+    elif mode == "hpc":
+        bound, strict, last = hash_bound_u32(density), False, m - l - 1
+    else:
+        bound, strict, last = hash_bound_simd_u32(density), True, m - l
+    for i in range(last + 1):
+        h = window_hash(stream[i : i + l], family)
+        if (h < bound) if strict else (h <= bound):
+            if mode == "regular" or mode == "simd":
+                s, e = i, i + l - 1
+            elif mode == "hpc":
+                s = pos[i]
+                e = (pos[i + l] if i + l < m else n) - 1
+            else:
+                s, e = pos[i], pos[i + l - 1]
+            mins.append((s, e, h))
+    if len(mins) < k:
+        return []
+    out = []
+    mixed = [mix32(h) for _, _, h in mins]
+    for w in range(len(mins) - k + 1):
+        fh = rh = 0
+        for t in range(k):
+            fh ^= rol64(mixed[w + t], k - 1 - t)
+            rh ^= rol64(mixed[w + t], t)
+        out.append(
+            (min(fh, rh), mins[w][0], mins[w + k - 1][1], w, rh < fh)
+        )
+    return out
+
+
+def assert_matches(seq, l, k, d, mode):
+    ref = ref_kminmers(seq, l, k, d, mode)
+    for backend in ("oracle", "jax"):
+        got = kminmers_list(seq, l, k, d, HashMode(mode), backend=backend)
+        assert len(got) == len(ref), (mode, backend, len(got), len(ref))
+        for g, r in zip(got, ref):
+            assert (g.hash, g.start, g.end, g.offset, g.rev) == r, (
+                mode, backend, g, r,
+            )
+
+
+BASE = "ACGGTACGTTAGCCATGGATCGAAGCTTACGATCAGGACTGATG" * 6
+
+
+@pytest.mark.parametrize("mode", ["regular", "hpc", "simd", "hpcsimd"])
+def test_adjacent_distinct_other_bytes(mode):
+    """Runs of DISTINCT non-ACGTN bytes must survive HPC ("AXYA" stays
+    4 long) while identical ones collapse ("AXXA" -> "AXA")."""
+    seq = "AXYA" + BASE + "KWWK" + BASE + "X" * 5 + BASE
+    assert_matches(seq, 7, 3, 0.15, mode)
+
+
+@pytest.mark.parametrize("mode", ["regular", "hpc", "simd", "hpcsimd"])
+def test_lowercase_convention(mode):
+    """Scalar paths hash lowercase as OTHER (seed 1) and keep 'aA' as two
+    runs; SIMD paths case-fold the hash but still keep 'aA' as two runs."""
+    seq = "acgtACGT" + BASE.lower() + BASE + "aAcCgGtTnN" + BASE
+    assert_matches(seq, 9, 2, 0.2, mode)
+
+
+@pytest.mark.parametrize("mode", ["regular", "hpc", "simd", "hpcsimd"])
+def test_n_and_mixed_garbage(mode):
+    seq = BASE + "NNNNQRST" + BASE + "N" + BASE
+    assert_matches(seq, 11, 4, 0.1, mode)
+
+
+def test_xcode_tables_literal():
+    # scalar: only uppercase ACGTN populated; everything else OTHER (code 5)
+    t = XCODE_TABLE_SCALAR
+    assert t[ord("A")] & 7 == 0 and t[ord("T")] & 7 == 3
+    assert t[ord("N")] & 7 == 4
+    for b in [ord("a"), ord("c"), ord("Q"), ord("X"), 0, 255]:
+        assert t[b] & 7 == 5, b
+    # simd: nibble LUT, case-folded, non-base nibbles -> N (code 4)
+    s = XCODE_TABLE_SIMD
+    for b, c in [("A", 0), ("a", 0), ("C", 1), ("c", 1), ("G", 2),
+                 ("g", 2), ("T", 3), ("t", 3), ("N", 4), ("n", 4),
+                 ("Q", 0), ("S", 1), ("W", 2), ("D", 3), ("X", 4)]:
+        assert s[ord(b)] & 7 == c, (b, c)
+    # xcodes keep full byte identity in the high bits
+    assert len({int(v) for v in t}) == 256
+    assert len({int(v) for v in s}) == 256
