@@ -65,22 +65,30 @@ def device_cases(size: int, steps: int):
     lengths = jnp.asarray(np.full(B, L, dtype=np.int32))
     nbytes = B * L
 
-    def gen(key):
-        bits = jax.random.bits(key, (B, L // 4), jnp.uint32)
+    # Pre-generated input pool resident in HBM, indexed per step (same
+    # amortized methodology as bench.py: the measured region contains ONLY
+    # pipeline work; criterion likewise hashes a pre-materialized string,
+    # reference benches/bench.rs:20-34).
+    POOL = 8
+
+    def gen_pool(key):
+        bits = jax.random.bits(key, (POOL, B, L // 4), jnp.uint32)
         c = jnp.stack([(bits >> (2 * i)) & 3 for i in range(4)], axis=-1)
-        return c.reshape(B, L).astype(jnp.uint8)
+        return c.reshape(POOL, B, L).astype(jnp.uint8)
+
+    pool = jax.block_until_ready(jax.jit(gen_pool)(jax.random.PRNGKey(7)))
 
     def unit_of(step_fn):
         @jax.jit
-        def unit(key):
-            def body(carry, _):
-                key, acc = carry
-                key, sub = jax.random.split(key)
-                acc = acc + step_fn(sub)
-                return (key, acc), None
+        def unit(pool, salt):
+            def body(acc, i):
+                codes = jax.lax.dynamic_index_in_dim(
+                    pool, (i + salt) % POOL, axis=0, keepdims=False
+                )
+                return acc + step_fn(codes), None
 
-            (key, acc), _ = jax.lax.scan(
-                body, (key, jnp.int32(0)), None, length=steps
+            acc, _ = jax.lax.scan(
+                body, jnp.int32(0), jnp.arange(steps, dtype=jnp.int32)
             )
             return acc
 
@@ -88,12 +96,12 @@ def device_cases(size: int, steps: int):
 
     def run(name, step_fn, extra=None):
         unit = unit_of(step_fn)
-        acc = unit(jax.random.PRNGKey(0))
+        acc = unit(pool, jnp.int32(0))
         int(acc)  # compile + settle
         ts = []
         for i in range(3):
             t0 = time.perf_counter()
-            acc = unit(jax.random.PRNGKey(i))
+            acc = unit(pool, jnp.int32(i))
             int(acc)
             ts.append(time.perf_counter() - t0)
         dt = float(np.median(ts)) / steps
@@ -110,8 +118,8 @@ def device_cases(size: int, steps: int):
         return rec
 
     # stage: dense canonical sliding hash alone (reference bench.rs:51-73)
-    def s_nthash(key):
-        fh, rh = sliding_nthash32(gen(key), 31)
+    def s_nthash(codes):
+        fh, rh = sliding_nthash32(codes, 31)
         h = jnp.minimum(fh, rh)
         return jax.lax.bitcast_convert_type(h, jnp.int32).sum()
 
@@ -124,8 +132,8 @@ def device_cases(size: int, steps: int):
             l=31, k=5, density=0.01, mode=mode, max_minimizers=m_cap
         )
 
-        def s_pipe(key, spec=spec):
-            out = kminmer_pipeline(gen(key), lengths, spec)
+        def s_pipe(codes, spec=spec):
+            out = kminmer_pipeline(codes, lengths, spec)
             return (
                 out.n_kminmers.sum()
                 + jax.lax.bitcast_convert_type(out.hash_lo, jnp.int32).sum()

@@ -69,6 +69,14 @@ def _load_native():
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_uint16,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ]
+            lib.s2k_pack16_idx.restype = ctypes.c_int64
+            lib.s2k_pack16_idx.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_uint16,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.s2k_seq_lens.restype = None
+            lib.s2k_seq_lens.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
             lib.s2k_close.restype = None
             lib.s2k_close.argtypes = [ctypes.c_void_p]
             _lib = lib
@@ -110,6 +118,64 @@ class FastaFile:
         if self.native:
             return int(self._lib.s2k_seq_len(self._handle, i))
         return len(self._py_records[i][1])
+
+    def seq_lens(self) -> np.ndarray:
+        """All record lengths at once (int64[n])."""
+        n = len(self)
+        if self.native:
+            out = np.empty(n, dtype=np.int64)
+            self._lib.s2k_seq_lens(
+                self._handle, out.ctypes.data_as(ctypes.c_void_p)
+            )
+            return out
+        return np.array(
+            [len(s) for _, s in self._py_records], dtype=np.int64
+        )
+
+    def pack_indices(
+        self,
+        indices,
+        max_len: int,
+        threads: int = 0,
+        family: str = "scalar",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Gather-pack arbitrary record indices into uint16 xcodes (for
+        length-bucketed batching): -> (codes uint16[len(indices), max_len],
+        lengths int64)."""
+        idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
+        count = len(idx)
+        codes = np.empty((count, max_len), dtype=np.uint16)
+        lengths = np.empty(count, dtype=np.int64)
+        if count == 0:
+            return codes, lengths
+        if self.native:
+            table = np.ascontiguousarray(xcode_table(family))
+            self._lib.s2k_pack16_idx(
+                self._handle,
+                idx.ctypes.data_as(ctypes.c_void_p),
+                count,
+                max_len,
+                table.ctypes.data_as(ctypes.c_void_p),
+                XCODE_PAD,
+                codes.ctypes.data_as(ctypes.c_void_p),
+                lengths.ctypes.data_as(ctypes.c_void_p),
+                threads,
+            )
+        else:
+            table = xcode_table(family)
+            for i, r in enumerate(idx):
+                if r < 0 or r >= len(self._py_records):
+                    codes[i] = XCODE_PAD
+                    lengths[i] = 0
+                    continue
+                _, s = self._py_records[r]
+                b = np.frombuffer(
+                    s.encode("latin-1"), dtype=np.uint8
+                )[:max_len]
+                codes[i, : len(b)] = table[b]
+                codes[i, len(b):] = XCODE_PAD
+                lengths[i] = len(b)
+        return codes, lengths
 
     def name(self, i: int) -> str:
         if self.native:

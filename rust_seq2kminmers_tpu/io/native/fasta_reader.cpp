@@ -219,6 +219,12 @@ int64_t s2k_seq_len(void* h, int64_t i) {
   return static_cast<File*>(h)->records[i].seq_len;
 }
 
+// Bulk record lengths into a caller-allocated int64[num_records] buffer.
+void s2k_seq_lens(void* h, int64_t* out) {
+  File* f = static_cast<File*>(h);
+  for (size_t i = 0; i < f->records.size(); i++) out[i] = f->records[i].seq_len;
+}
+
 int64_t s2k_name(void* h, int64_t i, char* buf, int64_t cap) {
   File* f = static_cast<File*>(h);
   const Record& r = f->records[i];
@@ -246,6 +252,42 @@ int64_t s2k_pack16(void* h, int64_t first, int64_t count, int64_t max_len,
                    int64_t* lengths, int64_t threads) {
   return pack_range<uint16_t>(static_cast<File*>(h), first, count, max_len,
                               table, pad, codes, lengths, threads);
+}
+
+// Gather-pack: arbitrary record indices (for length-bucketed batching in
+// the streaming CLI) instead of a contiguous [first, first+count) range.
+int64_t s2k_pack16_idx(void* h, const int64_t* indices, int64_t count,
+                       int64_t max_len, const uint16_t* table, uint16_t pad,
+                       uint16_t* codes, int64_t* lengths, int64_t threads) {
+  File* f = static_cast<File*>(h);
+  int64_t n_rec = f->records.size();
+  if (threads <= 0)
+    threads = std::max(1u, std::thread::hardware_concurrency());
+  threads = std::min<int64_t>(threads, count);
+  if (count <= 0) return 0;
+
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> ok(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= count) return;
+      int64_t r = indices[i];
+      if (r < 0 || r >= n_rec) {
+        for (int64_t q = 0; q < max_len; q++) codes[i * max_len + q] = pad;
+        lengths[i] = 0;
+        continue;
+      }
+      pack_one<uint16_t>(*f, f->records[r], table, pad,
+                         codes + i * max_len, max_len, &lengths[i]);
+      ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int64_t t = 1; t < threads; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  return ok.load();
 }
 
 void s2k_close(void* h) {

@@ -26,8 +26,9 @@ import numpy as np
 from ..constants import SEED_TABLE_F, SEED_TABLE_R, seed_tables
 from .u64 import U32, Pair, rol32, rol64
 
-_SEED_F = jnp.asarray(SEED_TABLE_F)
-_SEED_R = jnp.asarray(SEED_TABLE_R)
+# NOTE: no module-level jnp.asarray — creating device arrays at import time
+# would initialize the XLA backend before jax.distributed.initialize() can
+# run (parallel/multihost.py).  _seed_select consumes numpy tables directly.
 
 
 def _seed_select(table: np.ndarray, codes: jnp.ndarray) -> jnp.ndarray:

@@ -68,28 +68,21 @@ def make_dp_pipeline(spec: PipelineSpec, mesh: Mesh):
     return jax.jit(step)
 
 
-def merge_ordered(result: ShardedKminmers) -> dict:
-    """Host-side stitch: device-sharded padded outputs -> one globally
-    ordered struct-of-arrays {hash u64, start, end, offset, rev}[total].
-
-    The sequence order is preserved: read b's k-min-mers occupy
-    [global_offset[b], global_offset[b] + n_kminmers[b]), and within a read
-    offsets are 0..n-1 as in the reference (src/lib.rs:258-259).
-    """
-    b = result.batch
-    counts = np.asarray(b.n_kminmers)
-    bases = np.asarray(result.global_offset)
-    total = int(np.asarray(result.total))
-    hashes = to_py_u64((np.asarray(b.hash_hi), np.asarray(b.hash_lo)))
-    start = np.asarray(b.start)
-    end = np.asarray(b.end)
-    rev = np.asarray(b.rev)
-
-    # Vectorized O(total) stitch: every output slot's (read, within-read
-    # offset) pair is derived from the counts alone, then one fancy-index
-    # gathers each column.  `bases` may be any permutation-consistent offset
-    # assignment (e.g. the global cross-host offsets), so scatter via bases
-    # rather than assuming bases == cumsum(counts).
+def stitch_records(
+    counts: np.ndarray,  # int[B] valid k-min-mers per read
+    bases: np.ndarray,  # int[B] output base offset per read (rebased)
+    total: int,  # output length (>= bases[b] + counts[b] for all b)
+    hashes: np.ndarray,  # uint64[B, Mk]
+    start: np.ndarray,
+    end: np.ndarray,
+    rev: np.ndarray,
+    read_base: int = 0,  # global index of read 0 (multi-host shards)
+) -> dict:
+    """Vectorized O(total) stitch of padded per-read outputs into one
+    ordered struct-of-arrays: every output slot's (read, within-read offset)
+    pair is derived from the counts alone, then one fancy-index gathers each
+    column.  `bases` may be any collision-free offset assignment (e.g. the
+    cross-host global offsets rebased to this host's chunk)."""
     counts = counts.astype(np.int64)
     read_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     seg_start = np.repeat(
@@ -108,7 +101,7 @@ def merge_ordered(result: ShardedKminmers) -> dict:
     out_e[dest] = end[read_of, off_in_read]
     out_o[dest] = off_in_read
     out_r[dest] = rev[read_of, off_in_read]
-    out_read[dest] = read_of
+    out_read[dest] = read_of + read_base
     return {
         "hash": out_h,
         "start": out_s,
@@ -117,3 +110,24 @@ def merge_ordered(result: ShardedKminmers) -> dict:
         "rev": out_r,
         "read": out_read,
     }
+
+
+def merge_ordered(result: ShardedKminmers) -> dict:
+    """Host-side stitch: device-sharded padded outputs -> one globally
+    ordered struct-of-arrays {hash u64, start, end, offset, rev}[total].
+
+    The sequence order is preserved: read b's k-min-mers occupy
+    [global_offset[b], global_offset[b] + n_kminmers[b]), and within a read
+    offsets are 0..n-1 as in the reference (src/lib.rs:258-259).
+    """
+    b = result.batch
+    hashes = to_py_u64((np.asarray(b.hash_hi), np.asarray(b.hash_lo)))
+    return stitch_records(
+        np.asarray(b.n_kminmers),
+        np.asarray(result.global_offset),
+        int(np.asarray(result.total)),
+        hashes,
+        np.asarray(b.start),
+        np.asarray(b.end),
+        np.asarray(b.rev),
+    )

@@ -1,0 +1,125 @@
+"""Multi-host distributed correctness: two jax.distributed processes on a
+CPU mesh must produce the IDENTICAL globally ordered k-min-mer stream as a
+single-process run.
+
+This is the TPU-native scaling of the reference's thread-pool data
+parallelism (reference src/main.rs:65-79) to hosts: per-host packing of its
+own record rows, one global mesh, counts-only collective for ordering, and
+per-host ordered chunks whose concatenation is the global stream."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+fasta = sys.argv[3]
+out_dir = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.getcwd())
+from rust_seq2kminmers_tpu.parallel.multihost import init_distributed
+
+init_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+from rust_seq2kminmers_tpu.parallel.multihost import run_file_distributed
+from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec
+
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+spec = PipelineSpec(l=9, k=3, density=0.05, mode="hpcsimd")
+chunks = run_file_distributed(
+    fasta, spec, rows_per_device=2, out_dir=out_dir
+)
+print(f"worker {pid} ok: {sum(len(c.records['hash']) for c in chunks)}")
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def fasta_file(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    p = tmp_path_factory.mktemp("mh") / "reads.fa"
+    seqs = []
+    for i in range(37):  # deliberately not a multiple of the batch size
+        n = int(rng.integers(40, 900))
+        seqs.append("".join(rng.choice(list("ACGT"), size=n)))
+    p.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)))
+    return p, seqs
+
+
+@pytest.mark.slow
+def test_two_process_stream_matches_single(fasta_file, tmp_path):
+    fasta, seqs = fasta_file
+    out = tmp_path / "parts"
+    port = _free_port()
+    wpath = tmp_path / "worker.py"
+    wpath.write_text(WORKER)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(wpath), str(pid), str(port), str(fasta),
+             str(out)],
+            env=env, cwd=str(Path(__file__).resolve().parent.parent),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-4000:]
+
+    # ---- reassemble the distributed stream from the per-host parts ----
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["num_processes"] == 2
+    parts = sorted(out.glob("part-*.npz"))  # (batch, host) ascending
+    hashes, starts, ends, offs, reads = [], [], [], [], []
+    expected_pos = 0
+    for fp in parts:
+        z = np.load(fp)
+        assert int(z["stream_start"]) == expected_pos
+        expected_pos += len(z["hash"])
+        hashes.append(z["hash"])
+        starts.append(z["start"])
+        ends.append(z["end"])
+        offs.append(z["offset"])
+        reads.append(z["read"])
+    got = {
+        "hash": np.concatenate(hashes),
+        "start": np.concatenate(starts),
+        "end": np.concatenate(ends),
+        "offset": np.concatenate(offs),
+        "read": np.concatenate(reads),
+    }
+    assert manifest["total_kminmers"] == len(got["hash"]) == expected_pos
+
+    # ---- single-process reference: the oracle per read, in order ----
+    from rust_seq2kminmers_tpu.oracle import HashMode, kminmers
+
+    p = 0
+    for i, s in enumerate(seqs):
+        ref = kminmers(s, 9, 3, 0.05, HashMode.HpcSimd)
+        for r in ref:
+            assert got["read"][p] == i
+            assert got["hash"][p] == np.uint64(r.hash)
+            assert got["start"][p] == r.start
+            assert got["end"][p] == r.end
+            assert got["offset"][p] == r.offset
+            p += 1
+    assert p == len(got["hash"])
