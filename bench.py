@@ -57,10 +57,14 @@ def main():
         max_minimizers=int(L * 0.02) + 256,
     )
 
+    from rust_seq2kminmers_tpu.ops.hpc import with_keep_bits_device
+
     def gen_pool(key):
         bits = jax.random.bits(key, (POOL, B, L // 4), jnp.uint32)
         c = jnp.stack([(bits >> (2 * i)) & 3 for i in range(4)], axis=-1)
-        return c.reshape(POOL, B, L).astype(jnp.uint8)
+        return with_keep_bits_device(
+            c.reshape(POOL, B, L).astype(jnp.uint8)
+        )
 
     pool = jax.block_until_ready(jax.jit(gen_pool)(jax.random.PRNGKey(7)))
 

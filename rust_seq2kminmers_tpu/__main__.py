@@ -13,9 +13,6 @@ controls the native reader's packer threads.
 from __future__ import annotations
 
 import sys
-import time
-
-import numpy as np
 
 DEMO_SEQ = (
     "AACTGCACTGCACTGCACTGCACACTGCACTGCACTGCACTGCACACTGCACTGCACTG"
@@ -44,64 +41,76 @@ def demo():
             )
 
 
-def run_file(filename: str, nb_threads: int):
+def run_file(
+    filename: str,
+    nb_threads: int,
+    mode: str = "regular",
+    l: int = 31,
+    k: int = 5,
+    density: float = 0.01,
+    out: str | None = None,
+    progress: bool = False,
+):
     import jax
-    import jax.numpy as jnp
 
-    from .constants import XCODE_PAD, family_of_mode
-    from .io.fasta import FastaFile
-    from .ops.pipeline import PipelineSpec, kminmer_pipeline
+    from .io.stream import stream_file
+    from .ops.pipeline import PipelineSpec
+    from .runtime import enable_compile_cache
 
-    l, k, d = 31, 5, 0.01
+    enable_compile_cache()
+
     print(
         f"Enumerating k-min-mers for the input file {filename} "
         f"({nb_threads} packer threads, device {jax.devices()[0]})"
     )
-    t0 = time.perf_counter()
-    total = 0
-    nbases = 0
-    with FastaFile(filename) as f:
-        max_len = f.max_seq_len()
-        # pad to a multiple of 1024 to bound recompiles across files
-        pad = max(1024, (max_len + 1023) // 1024 * 1024)
-        spec = PipelineSpec(
-            l=l, k=k, density=d, mode="regular",
-            max_minimizers=min(pad, int(pad * d * 4) + 256),
-        )
-        fn = jax.jit(lambda c, n: kminmer_pipeline(c, n, spec))
-        batch = 64
-        fam = family_of_mode(spec.mode)
-        for codes, lengths, _first in f.batches(batch, pad, nb_threads, fam):
-            if codes.shape[0] < batch:  # pad last batch to the static shape
-                padrows = batch - codes.shape[0]
-                codes = np.concatenate(
-                    [codes, np.full((padrows, pad), XCODE_PAD, codes.dtype)]
-                )
-                lengths = np.concatenate(
-                    [lengths, np.zeros(padrows, np.int64)]
-                )
-            out = fn(jnp.asarray(codes), jnp.asarray(lengths.astype(np.int32)))
-            total += int(np.asarray(out.n_kminmers).sum())
-            nbases += int(lengths.sum())
-    dt = time.perf_counter() - t0
-    print(
-        f"FASTA to kminmers in {dt:.3f}s: {total} k-min-mers from "
-        f"{nbases} bases ({nbases / dt / 1e9:.3f} GB/s)."
+    spec = PipelineSpec(l=l, k=k, density=density, mode=mode)
+    st = stream_file(
+        filename, spec, threads=nb_threads, out=out, progress=progress
     )
+    print(
+        f"FASTA to kminmers in {st.wall_s:.3f}s: {st.total_kminmers} "
+        f"k-min-mers from {st.total_bases} bases over {st.num_records} "
+        f"records ({st.total_bases / st.wall_s / 1e9:.3f} GB/s end-to-end; "
+        f"{st.batches} batches in {st.buckets} length buckets, "
+        f"{st.pack_s:.3f}s host packing overlapped)."
+    )
+    if out is not None:
+        print(f"ordered k-min-mer stream written to {out}")
 
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         demo()
-    else:
-        import os
+        return 0
+    import argparse
 
-        if not os.path.exists(argv[0]):
-            print(f"error: input file not found: {argv[0]}", file=sys.stderr)
-            return 2
-        nb_threads = int(argv[1]) if len(argv) > 1 else 0
-        run_file(argv[0], nb_threads)
+    ap = argparse.ArgumentParser(
+        prog="rust_seq2kminmers_tpu",
+        description="Enumerate k-min-mers of a FASTA/FASTQ file "
+        "(reference src/main.rs:53-60 defaults: l=31 k=5 d=0.01 regular).",
+    )
+    ap.add_argument("fasta")
+    ap.add_argument("nb_threads", nargs="?", type=int, default=0,
+                    help="native packer threads (0 = all cores)")
+    ap.add_argument("--mode", default="regular",
+                    choices=["regular", "simd", "hpc", "hpcsimd"])
+    ap.add_argument("-l", type=int, default=31)
+    ap.add_argument("-k", type=int, default=5)
+    ap.add_argument("-d", "--density", type=float, default=0.01)
+    ap.add_argument("-o", "--out", default=None,
+                    help="write the ordered stream to this .npz")
+    ap.add_argument("--progress", action="store_true")
+    args = ap.parse_args(argv)
+    import os
+
+    if not os.path.exists(args.fasta):
+        print(f"error: input file not found: {args.fasta}", file=sys.stderr)
+        return 2
+    run_file(
+        args.fasta, args.nb_threads, mode=args.mode, l=args.l, k=args.k,
+        density=args.density, out=args.out, progress=args.progress,
+    )
     return 0
 
 

@@ -138,14 +138,14 @@ def kminmers_list(
         return _oracle_kminmers(seq, l, k, density, mode, hash_width, variant)
 
     if isinstance(seq, np.ndarray) and np.issubdtype(seq.dtype, np.integer):
-        codes = seq.astype(np.uint16, copy=False)  # pre-encoded xcodes
+        codes = seq.astype(np.uint8, copy=False)  # pre-encoded xcodes
     else:
         codes = encode_xcodes(seq, family_of_mode(mode.value))
     n = len(codes)
     if n <= l:
         return []
     L = _bucket_length(max(n, l + 1))
-    padded = np.full((1, L), XCODE_PAD, dtype=np.uint16)
+    padded = np.full((1, L), XCODE_PAD, dtype=np.uint8)
     padded[0, :n] = codes
     spec = PipelineSpec(
         l=l,

@@ -150,19 +150,18 @@ for _b, _c in [
 CODE_TO_BYTE = np.frombuffer(b"ACGTN??", dtype=np.uint8).copy()
 
 # ---------------------------------------------------------------------------
-# xcode representation: the pipeline input value for one base is
-#     xcode = (byte_id << 3) | hash_code3
-# so the HPC keep-mask (which compares whole xcodes) sees full raw-byte
-# identity — runs of *distinct* non-ACGTN bytes survive exactly as in the
-# reference, which compares raw bytes (src/nthash_hpc.rs:253-263,
-# src/hpc.rs:88) — while every hashing site reads only the low 3 bits.
-# Plain 3-bit codes (byte_id == 0) remain valid degenerate xcodes, so
-# synthetic ACGT tensors and the historical uint8 format still work.
-XCODE_PAD = (256 << 3) | CODE_PAD  # pad pseudo-byte: id 256, code 6
-
-_BYTE_IDS = np.arange(256, dtype=np.uint16) << 3
-XCODE_TABLE_SCALAR = _BYTE_IDS | BYTE_TO_CODE_SCALAR
-XCODE_TABLE_SIMD = _BYTE_IDS | BYTE_TO_CODE_SIMD
+# xcode representation: the pipeline input value for one base is ONE byte
+#     xcode = (keep << 3) | hash_code3,   keep = raw_byte[i] != raw_byte[i-1]
+# (keep = 1 at i = 0).  The HPC keep-mask is thus *precomputed against raw
+# bytes* on the streaming host — full raw-byte identity, exactly like the
+# reference's raw-byte run comparison (src/nthash_hpc.rs:253-263,
+# src/hpc.rs:88): runs of distinct non-ACGTN bytes that share a hash code
+# survive.  Hashing reads only the low 3 bits.  One byte per base halves
+# host->device wire traffic and host packing writes vs a 16-bit format, and
+# the device kernels never need a cross-block "previous char" carry.
+XCODE_KEEP = 8  # bit 3: this base differs from the previous raw byte
+XCODE_PAD = XCODE_KEEP | CODE_PAD  # pad: code 6, keep set (inert: masked
+# off by per-read length everywhere it could matter)
 
 
 def family_of_mode(mode: str) -> str:
@@ -170,12 +169,26 @@ def family_of_mode(mode: str) -> str:
     return "simd" if mode in ("simd", "hpcsimd") else "scalar"
 
 
-def xcode_table(family: str) -> np.ndarray:
+def code_table(family: str) -> np.ndarray:
+    """256-entry byte -> 3-bit hash-code table of a mode family."""
     if family == "scalar":
-        return XCODE_TABLE_SCALAR
+        return BYTE_TO_CODE_SCALAR
     if family == "simd":
-        return XCODE_TABLE_SIMD
+        return BYTE_TO_CODE_SIMD
     raise ValueError(f"unknown table family {family!r}")
+
+
+def with_keep_bits(codes: np.ndarray) -> np.ndarray:
+    """Stamp xcode keep bits onto a plain 3-bit code array (1-D or [B, L]),
+    treating code equality as byte equality — for synthetic/test tensors
+    whose bases were never real bytes.  Real sequence paths (encode_xcodes,
+    the native packer) compare raw bytes instead."""
+    codes = np.asarray(codes)
+    low = codes & 7
+    prev = np.roll(low, 1, axis=-1)
+    keep = low != prev
+    keep[..., 0] = True
+    return (low | np.where(keep, XCODE_KEEP, 0)).astype(np.uint8)
 
 
 def _to_byte_array(seq: bytes | str | np.ndarray) -> np.ndarray:
@@ -189,8 +202,16 @@ def _to_byte_array(seq: bytes | str | np.ndarray) -> np.ndarray:
 def encode_xcodes(
     seq: bytes | str | np.ndarray, family: str = "scalar"
 ) -> np.ndarray:
-    """ASCII sequence -> uint16 xcode array ((byte << 3) | hash_code)."""
-    return xcode_table(family)[_to_byte_array(seq)]
+    """ASCII sequence -> uint8 xcode array ((raw-byte-diff keep << 3) |
+    hash_code3)."""
+    b = _to_byte_array(seq)
+    codes = code_table(family)[b]
+    if len(b) == 0:
+        return codes
+    keep = np.empty(len(b), dtype=bool)
+    keep[0] = True
+    np.not_equal(b[1:], b[:-1], out=keep[1:])
+    return codes | np.where(keep, np.uint8(XCODE_KEEP), np.uint8(0))
 
 
 def encode_bases(seq: bytes | str | np.ndarray) -> np.ndarray:

@@ -16,7 +16,13 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from ..constants import BYTE_TO_CODE, CODE_PAD, XCODE_PAD, xcode_table
+from ..constants import (
+    BYTE_TO_CODE,
+    CODE_PAD,
+    XCODE_PAD,
+    code_table,
+    encode_xcodes,
+)
 
 _NATIVE_DIR = Path(__file__).parent / "native"
 _SRC = _NATIVE_DIR / "fasta_reader.cpp"
@@ -63,16 +69,16 @@ def _load_native():
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64,
             ]
-            lib.s2k_pack16.restype = ctypes.c_int64
-            lib.s2k_pack16.argtypes = [
+            lib.s2k_packx.restype = ctypes.c_int64
+            lib.s2k_packx.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int64, ctypes.c_void_p, ctypes.c_uint16,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_uint8,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ]
-            lib.s2k_pack16_idx.restype = ctypes.c_int64
-            lib.s2k_pack16_idx.argtypes = [
+            lib.s2k_packx_idx.restype = ctypes.c_int64
+            lib.s2k_packx_idx.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-                ctypes.c_int64, ctypes.c_void_p, ctypes.c_uint16,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_uint8,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ]
             lib.s2k_seq_lens.restype = None
@@ -139,18 +145,18 @@ class FastaFile:
         threads: int = 0,
         family: str = "scalar",
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Gather-pack arbitrary record indices into uint16 xcodes (for
-        length-bucketed batching): -> (codes uint16[len(indices), max_len],
-        lengths int64)."""
+        """Gather-pack arbitrary record indices into uint8 xcodes
+        ((raw-byte-diff keep << 3) | code, for length-bucketed batching):
+        -> (codes uint8[len(indices), max_len], lengths int64)."""
         idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
         count = len(idx)
-        codes = np.empty((count, max_len), dtype=np.uint16)
+        codes = np.empty((count, max_len), dtype=np.uint8)
         lengths = np.empty(count, dtype=np.int64)
         if count == 0:
             return codes, lengths
         if self.native:
-            table = np.ascontiguousarray(xcode_table(family))
-            self._lib.s2k_pack16_idx(
+            table = np.ascontiguousarray(code_table(family))
+            self._lib.s2k_packx_idx(
                 self._handle,
                 idx.ctypes.data_as(ctypes.c_void_p),
                 count,
@@ -162,19 +168,16 @@ class FastaFile:
                 threads,
             )
         else:
-            table = xcode_table(family)
             for i, r in enumerate(idx):
                 if r < 0 or r >= len(self._py_records):
                     codes[i] = XCODE_PAD
                     lengths[i] = 0
                     continue
                 _, s = self._py_records[r]
-                b = np.frombuffer(
-                    s.encode("latin-1"), dtype=np.uint8
-                )[:max_len]
-                codes[i, : len(b)] = table[b]
-                codes[i, len(b):] = XCODE_PAD
-                lengths[i] = len(b)
+                x = encode_xcodes(s, family)[:max_len]
+                codes[i, : len(x)] = x
+                codes[i, len(x):] = XCODE_PAD
+                lengths[i] = len(x)
         return codes, lengths
 
     def name(self, i: int) -> str:
@@ -194,18 +197,18 @@ class FastaFile:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """-> (codes[count, max_len], lengths int64[count] clipped).
 
-        family="scalar"|"simd" (default scalar) packs exact-fidelity uint16
-        xcodes ((byte << 3) | per-family hash code, padded with XCODE_PAD);
-        family=None packs the legacy quantized uint8 codes (case-folded,
-        non-ACGTN -> OTHER, padded with CODE_PAD)."""
+        family="scalar"|"simd" (default scalar) packs exact-fidelity uint8
+        xcodes ((raw-byte-diff keep << 3) | per-family hash code, padded
+        with XCODE_PAD); family=None packs the legacy quantized plain codes
+        (case-folded, non-ACGTN -> OTHER, padded with CODE_PAD, no keep
+        bits)."""
         n = len(self)
         if count is None:
             count = n - first
         count = max(0, min(count, n - first))
         if max_len is None:
             max_len = self.max_seq_len()
-        dt = np.uint8 if family is None else np.uint16
-        codes = np.empty((count, max_len), dtype=dt)
+        codes = np.empty((count, max_len), dtype=np.uint8)
         lengths = np.empty(count, dtype=np.int64)
         if count == 0:
             return codes, lengths
@@ -221,8 +224,8 @@ class FastaFile:
                     threads,
                 )
             else:
-                table = np.ascontiguousarray(xcode_table(family))
-                got = self._lib.s2k_pack16(
+                table = np.ascontiguousarray(code_table(family))
+                got = self._lib.s2k_packx(
                     self._handle,
                     first,
                     count,
@@ -235,18 +238,20 @@ class FastaFile:
                 )
             assert got == count
         else:
-            table = (
-                BYTE_TO_CODE if family is None else xcode_table(family)
-            )
-            pad = CODE_PAD if family is None else XCODE_PAD
             for i in range(count):
                 _, s = self._py_records[first + i]
-                b = np.frombuffer(
-                    s.encode("latin-1"), dtype=np.uint8
-                )[:max_len]
-                codes[i, : len(b)] = table[b]
-                codes[i, len(b):] = pad
-                lengths[i] = len(b)
+                if family is None:
+                    b = np.frombuffer(
+                        s.encode("latin-1"), dtype=np.uint8
+                    )[:max_len]
+                    codes[i, : len(b)] = BYTE_TO_CODE[b]
+                    codes[i, len(b):] = CODE_PAD
+                    lengths[i] = len(b)
+                else:
+                    x = encode_xcodes(s, family)[:max_len]
+                    codes[i, : len(x)] = x
+                    codes[i, len(x):] = XCODE_PAD
+                    lengths[i] = len(x)
         return codes, lengths
 
     def batches(

@@ -141,6 +141,44 @@ void pack_one(const File& f, const Record& r, const T* table, T pad, T* out,
   *out_len = n;
 }
 
+// xcode pack: one uint8 per base, (keep << 3) | hash_code3, where keep is
+// the raw-byte != previous-raw-byte flag (keep = 1 at base 0) — the HPC
+// run boundary precomputed against raw bytes exactly as the reference
+// compares them (reference src/nthash_hpc.rs:253-263, src/hpc.rs:88).
+// See constants.py for the format contract.
+void pack_one_x(const File& f, const Record& r, const uint8_t* table,
+                uint8_t pad, uint8_t* out, int64_t max_len,
+                int64_t* out_len) {
+  const char* s = f.data + r.seq_off;
+  int64_t n = 0;
+  int prev = -1;  // no previous byte: first base always keeps
+  if (!r.multiline) {
+    int64_t take = std::min<int64_t>(r.seq_len, max_len);
+    for (int64_t i = 0; i < take; i++) {
+      uint8_t c = static_cast<uint8_t>(s[i]);
+      out[i] = table[c] | ((c != prev) << 3);
+      prev = c;
+    }
+    n = take;
+  } else {
+    const char* end = f.data + r.seq_end;
+    const char* q = s;
+    while (q < end && n < max_len) {
+      const char* eol = find_eol(q, end);
+      int64_t take = std::min<int64_t>(eol - q, max_len - n);
+      for (int64_t i = 0; i < take; i++) {
+        uint8_t c = static_cast<uint8_t>(q[i]);
+        out[n + i] = table[c] | ((c != prev) << 3);
+        prev = c;
+      }
+      n += take;
+      q = eol + 1;
+    }
+  }
+  for (int64_t i = n; i < max_len; i++) out[i] = pad;
+  *out_len = n;
+}
+
 template <typename T>
 int64_t pack_range(File* f, int64_t first, int64_t count, int64_t max_len,
                    const T* table, T pad, T* codes, int64_t* lengths,
@@ -243,22 +281,41 @@ int64_t s2k_pack(void* h, int64_t first, int64_t count, int64_t max_len,
                              kCodes.t, CODE_PAD, codes, lengths, threads);
 }
 
-// Same, but through a caller-provided 256-entry uint16 byte->xcode table
-// ((byte << 3) | hash_code, see constants.py) and an explicit pad value —
-// the exact-fidelity format where the HPC keep-mask sees full raw-byte
-// identity and the hash code convention is per mode family.
-int64_t s2k_pack16(void* h, int64_t first, int64_t count, int64_t max_len,
-                   const uint16_t* table, uint16_t pad, uint16_t* codes,
-                   int64_t* lengths, int64_t threads) {
-  return pack_range<uint16_t>(static_cast<File*>(h), first, count, max_len,
-                              table, pad, codes, lengths, threads);
+// Same, but in the exact-fidelity uint8 xcode format ((raw-byte-diff keep
+// << 3) | hash_code3) through a caller-provided 256-entry byte->code3
+// table (per mode family, see constants.py) and an explicit pad value.
+int64_t s2k_packx(void* h, int64_t first, int64_t count, int64_t max_len,
+                  const uint8_t* table, uint8_t pad, uint8_t* codes,
+                  int64_t* lengths, int64_t threads) {
+  File* f = static_cast<File*>(h);
+  int64_t n_rec = f->records.size();
+  if (first >= n_rec) return 0;
+  count = std::min(count, n_rec - first);
+  if (threads <= 0)
+    threads = std::max(1u, std::thread::hardware_concurrency());
+  threads = std::min<int64_t>(threads, count);
+
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= count) return;
+      pack_one_x(*f, f->records[first + i], table, pad, codes + i * max_len,
+                 max_len, &lengths[i]);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int64_t t = 1; t < threads; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  return count;
 }
 
 // Gather-pack: arbitrary record indices (for length-bucketed batching in
 // the streaming CLI) instead of a contiguous [first, first+count) range.
-int64_t s2k_pack16_idx(void* h, const int64_t* indices, int64_t count,
-                       int64_t max_len, const uint16_t* table, uint16_t pad,
-                       uint16_t* codes, int64_t* lengths, int64_t threads) {
+int64_t s2k_packx_idx(void* h, const int64_t* indices, int64_t count,
+                      int64_t max_len, const uint8_t* table, uint8_t pad,
+                      uint8_t* codes, int64_t* lengths, int64_t threads) {
   File* f = static_cast<File*>(h);
   int64_t n_rec = f->records.size();
   if (threads <= 0)
@@ -274,12 +331,12 @@ int64_t s2k_pack16_idx(void* h, const int64_t* indices, int64_t count,
       if (i >= count) return;
       int64_t r = indices[i];
       if (r < 0 || r >= n_rec) {
-        for (int64_t q = 0; q < max_len; q++) codes[i * max_len + q] = pad;
+        memset(codes + i * max_len, pad, max_len);
         lengths[i] = 0;
         continue;
       }
-      pack_one<uint16_t>(*f, f->records[r], table, pad,
-                         codes + i * max_len, max_len, &lengths[i]);
+      pack_one_x(*f, f->records[r], table, pad, codes + i * max_len,
+                 max_len, &lengths[i]);
       ok.fetch_add(1);
     }
   };

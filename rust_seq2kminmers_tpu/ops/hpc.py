@@ -2,9 +2,11 @@
 
 TPU-native equivalent of the reference's fused scalar HPC
 (src/nthash_hpc.rs:149,253-263) and the AVX-512 RLE kernel
-(src/hpc.rs:44-147): keep-mask = (x[i] != x[i-1]), first element kept, then
-left-pack the kept codes together with their original positions
-(start-of-run convention, src/hpc.rs:7-25).
+(src/hpc.rs:44-147): keep-mask = (raw_byte[i] != raw_byte[i-1]), first
+element kept, then left-pack the kept codes together with their original
+positions (start-of-run convention, src/hpc.rs:7-25).  The raw-byte
+comparison is precomputed into xcode bit 3 by the host encoders
+(constants.encode_xcodes / the native packer), so the device only reads it.
 """
 
 from __future__ import annotations
@@ -13,18 +15,30 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from ..constants import CODE_PAD
+from ..constants import CODE_PAD, XCODE_KEEP
 from .compact import I32, compact, compact_indices
 
 
-def hpc_keep_mask(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-    """bool[B, L]: True where codes[b, j] starts a new run, within length."""
-    B, L = codes.shape
-    prev = jnp.concatenate(
-        [jnp.full((B, 1), 255, dtype=codes.dtype), codes[:, :-1]], axis=-1
+def with_keep_bits_device(codes: jnp.ndarray) -> jnp.ndarray:
+    """Device-side constants.with_keep_bits: stamp xcode keep bits onto a
+    plain 3-bit code tensor [..., L], treating code equality as byte
+    equality — for synthetic benchmark/test tensors generated on device.
+    Real sequences get their keep bits from the host encoders."""
+    low = codes & 7
+    prev = jnp.roll(low, 1, axis=-1)
+    j = jnp.arange(codes.shape[-1], dtype=I32)
+    keep = (low != prev) | (j == 0)
+    return (low | jnp.where(keep, 8, 0).astype(codes.dtype)).astype(
+        codes.dtype
     )
+
+
+def hpc_keep_mask(codes: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """bool[B, L]: True where codes[b, j] starts a new run (precomputed
+    raw-byte-diff xcode bit), within length."""
+    B, L = codes.shape
     j = jnp.arange(L, dtype=I32)
-    return (codes != prev) & (j[None, :] < lengths[:, None])
+    return ((codes & XCODE_KEEP) != 0) & (j[None, :] < lengths[:, None])
 
 
 def hpc_compress(

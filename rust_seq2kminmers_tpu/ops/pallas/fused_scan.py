@@ -6,16 +6,18 @@ entire L1+L2 layer (fused scalar HPC+NtHash iterator, src/nthash_hpc.rs, and
 the AVX-512 16-lane kernels, src/hpc.rs:44-147 + src/nthash_avx512_32.rs),
 designed for the hardware rather than translated:
 
-  * One HBM read of the raw uint8 base codes — no packed int32 input, no
-    separate HPC materialization pass.
+  * One HBM read of the raw uint8 xcodes ((keep << 3) | code — the HPC
+    raw-byte-diff keep flag is precomputed by the host encoder,
+    constants.py) — no packed int32 input, no separate HPC materialization
+    pass, no cross-block previous-char carry.
   * HPC compaction happens in VMEM per block as a stable "move by your
     rank deficit" permutation, decomposed over the offset's bits: 16 rounds
     of predicated flat shifts over the [R, 128] register tile (the flat
     generalization of AVX-512 `compressstoreu`).
   * Block-to-block state (the reference's ring buffer of the last l chars,
     src/nthash_hpc.rs:137-174) is a VMEM carry of exactly the last l
-    compacted (position, code) elements + SMEM scalars (global kept count,
-    last raw char).  A window is emitted by the block that holds its last
+    compacted (position, code) elements + an SMEM scalar (global kept
+    count).  A window is emitted by the block that holds its last
     element (its one-past-last element in hpc mode), so every window is
     emitted exactly once without lookahead halos.
   * NtHash rotate amounts depend on the *global kept rank* mod 32, carried
@@ -261,19 +263,19 @@ def _fused_kernel(
     @pl.when(t == 0)
     def _():
         sm_ref[0] = 0  # base rank (global kept count so far)
-        sm_ref[1] = -1  # last raw char (none)
         pend_ref[0, :] = jnp.zeros((LANES,), dtype=I32)
 
     base = sm_ref[0]
-    last_raw = sm_ref[1]
     length = length_ref[b]
     limit = limit_ref[b]
 
     P0 = 8 * LANES  # pending prefix: 8 aligned rows, data in row 7 only
-    # main holds xcodes ((byte_id << 3) | code, constants.py): the keep-mask
-    # compares them whole (full raw-byte identity, like the reference's
-    # raw-byte run comparison at src/nthash_hpc.rs:253-263); hashing and the
-    # packed stream read only the low 3 code bits.
+    # main holds xcodes ((keep << 3) | code, constants.py): bit 3 is the
+    # host-precomputed raw-byte-diff keep flag (full raw-byte identity,
+    # like the reference's raw-byte run comparison at
+    # src/nthash_hpc.rs:253-263 — and position-exact across block
+    # boundaries with no previous-char carry); hashing and the packed
+    # stream read only the low 3 code bits.
     main = codes_ref[0].astype(I32)  # [br, 128] xcodes
     ri = jax.lax.broadcasted_iota(I32, main.shape, dimension=0)
     li = jax.lax.broadcasted_iota(I32, main.shape, dimension=1)
@@ -281,8 +283,7 @@ def _fused_kernel(
     packed = (absj << 3) | (main & 7)
 
     if do_hpc:
-        prev = _flat_shift_back(main, last_raw)
-        keep = (main != prev) & (absj < length)
+        keep = ((main & 8) != 0) & (absj < length)
         keep_i = keep.astype(I32)
         rank = _flat_rank_inclusive(keep_i)
         cnt = jnp.sum(keep_i)  # scalar reduction (vector->scalar extract
@@ -370,22 +371,6 @@ def _fused_kernel(
     pend_ref[7:8, :] = jnp.where(takes_row1, rot[1:2], rot[0:1])
 
     sm_ref[0] = base + cnt
-    if do_hpc:
-        # last raw char of the block (for the run-spanning-block boundary).
-        # Masked full-tile reduction: Mosaic only supports 32-bit scalar
-        # vector extracts, and the input ref is uint8.
-        is_last = (ri == br - 1) & (li == LANES - 1)
-        sm_ref[1] = jnp.sum(jnp.where(is_last, main, 0))
-
-
-def _flat_shift_back(x, first_fill):
-    """y_flat[i] = x_flat[i-1]; y_flat[0] = first_fill (scalar)."""
-    li = jax.lax.broadcasted_iota(I32, x.shape, dimension=1)
-    ri = jax.lax.broadcasted_iota(I32, x.shape, dimension=0)
-    a = pltpu.roll(x, 1, 1)  # lane roll right by 1
-    b = pltpu.roll(_rollrows(x, 1), 1, 1)
-    y = jnp.where(li >= 1, a, b)
-    return jnp.where((li == 0) & (ri == 0), first_fill, y)
 
 
 def _nbits(n: int) -> int:
@@ -476,7 +461,7 @@ def fused_minimizer_scan(
         scratch_shapes=[
             pltpu.VMEM((8, LANES), I32),
             pltpu.VMEM((br + 16, LANES), I32),
-            pltpu.SMEM((4,), I32),
+            pltpu.SMEM((1,), I32),
         ],
     )
     outs = pl.pallas_call(

@@ -39,9 +39,9 @@ from .constants import (
     hash_bound_nthash2_31,
     hash_bound_simd_u32,
     hash_bound_u32,
+    code_table,
     seed_tables,
     seed_tables_nthash2_31,
-    xcode_table,
 )
 
 
@@ -276,23 +276,26 @@ def minimizers(
         raise ValueError(f"unknown variant {variant!r}")
     if variant == "nthash2" and hash_width != 32:
         raise ValueError("nthash2 variant is 32-bit-lane only")
-    # Two views of the input: `ids` carry full byte identity (what the HPC
-    # keep-mask compares — the reference compares raw bytes,
-    # src/nthash_hpc.rs:253-263, src/hpc.rs:88) and `codes` carry the
-    # per-mode-family 3-bit hash code (scalar table: uppercase-only,
-    # src/nthash_hpc.rs:30-49; SIMD: case-folding low-nibble LUT,
-    # src/nthash_avx512_32.rs:178-193).  A pre-encoded integer array is
-    # taken verbatim as xcodes ((id << 3) | code; plain 3-bit codes are the
-    # degenerate id-0 case).
+    # Two views of the input: the HPC keep-mask compares RAW BYTES (the
+    # reference compares raw bytes, src/nthash_hpc.rs:253-263,
+    # src/hpc.rs:88) and `codes` carry the per-mode-family 3-bit hash code
+    # (scalar table: uppercase-only, src/nthash_hpc.rs:30-49; SIMD:
+    # case-folding low-nibble LUT, src/nthash_avx512_32.rs:178-193).  A
+    # pre-encoded integer array is taken as uint8 xcodes
+    # ((raw-byte-diff keep << 3) | code3, constants.py).
     if isinstance(seq, np.ndarray) and np.issubdtype(seq.dtype, np.integer):
-        ids = seq.astype(np.int64)
-        codes = (ids & 7).astype(np.uint8)
+        x = seq.astype(np.uint8)
+        codes = (x & 7).astype(np.uint8)
+        keep = (x & 8) != 0
+        if len(keep):
+            keep[0] = True
     else:
-        x = xcode_table(family_of_mode(mode.value))
         if isinstance(seq, str):
             seq = seq.encode("latin-1")
-        ids = x[np.frombuffer(bytes(seq), dtype=np.uint8)].astype(np.int64)
-        codes = (ids & 7).astype(np.uint8)
+        b = np.frombuffer(bytes(seq), dtype=np.uint8)
+        codes = code_table(family_of_mode(mode.value))[b]
+        keep = np.ones(len(b), dtype=bool)
+        keep[1:] = b[1:] != b[:-1]
     n = len(codes)
     out: List[Tuple[int, int, int]] = []
     # KminmersIterator::new constructs no sub-iterator unless seq.len() > l
@@ -327,8 +330,8 @@ def minimizers(
             out.append((int(i), int(i) + l - 1, int(h[i])))
         return out
 
-    # HPC keep-mask over full byte identities; hashes over the 3-bit codes.
-    _, pos = hpc_compress(ids)
+    # HPC keep-mask over raw-byte identity; hashes over the 3-bit codes.
+    pos = np.nonzero(keep)[0]
     hpc_codes = codes[pos]
     m = len(hpc_codes)
     if m < l:

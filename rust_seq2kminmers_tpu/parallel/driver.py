@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover — older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops.compact import I32
 from ..ops.pipeline import KminmerBatch, PipelineSpec, kminmer_pipeline
@@ -50,7 +54,7 @@ def make_dp_pipeline(spec: PipelineSpec, mesh: Mesh):
             global_offset=P("data"),
             total=P(),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     def step(codes, lengths):
         out = kminmer_pipeline(codes, lengths, spec)
@@ -77,6 +81,7 @@ def stitch_records(
     end: np.ndarray,
     rev: np.ndarray,
     read_base: int = 0,  # global index of read 0 (multi-host shards)
+    read_ids=None,  # int[B] explicit record ids (bucketed batches); wins
 ) -> dict:
     """Vectorized O(total) stitch of padded per-read outputs into one
     ordered struct-of-arrays: every output slot's (read, within-read offset)
@@ -101,7 +106,10 @@ def stitch_records(
     out_e[dest] = end[read_of, off_in_read]
     out_o[dest] = off_in_read
     out_r[dest] = rev[read_of, off_in_read]
-    out_read[dest] = read_of + read_base
+    if read_ids is not None:
+        out_read[dest] = np.asarray(read_ids, dtype=np.int64)[read_of]
+    else:
+        out_read[dest] = read_of + read_base
     return {
         "hash": out_h,
         "start": out_s,

@@ -145,7 +145,7 @@ def run_file_distributed(
     for g, first in enumerate(range(0, n, B)):
         lfirst = first + row0
         cnt = max(0, min(local_rows, n - lfirst))
-        codes = np.full((local_rows, pad), XCODE_PAD, dtype=np.uint16)
+        codes = np.full((local_rows, pad), XCODE_PAD, dtype=np.uint8)
         lengths = np.zeros(local_rows, dtype=np.int64)
         if cnt:
             c, ln = f.pack(lfirst, cnt, pad, threads, fam)
@@ -254,6 +254,9 @@ def main(argv=None):
 
     init_distributed(args.coordinator, args.num_processes, args.process_id)
     from ..ops.pipeline import PipelineSpec
+    from ..runtime import enable_compile_cache
+
+    enable_compile_cache()
 
     spec = PipelineSpec(
         l=args.l, k=args.k, density=args.density, mode=args.mode

@@ -50,7 +50,9 @@ def scan_time(make_step, name):
 
 def main():
     rng = np.random.default_rng(0)
-    codes = jnp.asarray(rng.integers(0, 4, size=(B, L)).astype(np.uint8))
+    from rust_seq2kminmers_tpu.constants import with_keep_bits
+
+    codes = jnp.asarray(with_keep_bits(rng.integers(0, 4, size=(B, L))))
     lengths = jnp.asarray(np.full(B, L, np.int32))
     limit = (lengths - 31).astype(jnp.int32)
     m_cap = int(L * 0.02) + 256

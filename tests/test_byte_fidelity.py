@@ -19,8 +19,8 @@ import pytest
 
 from rust_seq2kminmers_tpu.api import kminmers_list
 from rust_seq2kminmers_tpu.constants import (
-    XCODE_TABLE_SCALAR,
-    XCODE_TABLE_SIMD,
+    encode_xcodes,
+    code_table,
     hash_bound_simd_u32,
     hash_bound_u32,
 )
@@ -165,19 +165,30 @@ def test_n_and_mixed_garbage(mode):
     assert_matches(seq, 11, 4, 0.1, mode)
 
 
-def test_xcode_tables_literal():
+def test_code_tables_literal():
     # scalar: only uppercase ACGTN populated; everything else OTHER (code 5)
-    t = XCODE_TABLE_SCALAR
-    assert t[ord("A")] & 7 == 0 and t[ord("T")] & 7 == 3
-    assert t[ord("N")] & 7 == 4
+    t = code_table("scalar")
+    assert t[ord("A")] == 0 and t[ord("T")] == 3
+    assert t[ord("N")] == 4
     for b in [ord("a"), ord("c"), ord("Q"), ord("X"), 0, 255]:
-        assert t[b] & 7 == 5, b
+        assert t[b] == 5, b
     # simd: nibble LUT, case-folded, non-base nibbles -> N (code 4)
-    s = XCODE_TABLE_SIMD
+    s = code_table("simd")
     for b, c in [("A", 0), ("a", 0), ("C", 1), ("c", 1), ("G", 2),
                  ("g", 2), ("T", 3), ("t", 3), ("N", 4), ("n", 4),
                  ("Q", 0), ("S", 1), ("W", 2), ("D", 3), ("X", 4)]:
-        assert s[ord(b)] & 7 == c, (b, c)
-    # xcodes keep full byte identity in the high bits
-    assert len({int(v) for v in t}) == 256
-    assert len({int(v) for v in s}) == 256
+        assert s[ord(b)] == c, (b, c)
+
+
+def test_encode_xcodes_keep_bits_track_raw_bytes():
+    # "AXYA": X and Y share the scalar OTHER code but differ as raw bytes,
+    # so every position keeps; "AAXX" collapses inside each raw-byte run.
+    x = encode_xcodes("AXYA", "scalar")
+    assert list(x & 7) == [0, 5, 5, 0]
+    assert list((x >> 3) & 1) == [1, 1, 1, 1]
+    y = encode_xcodes("AAXXQ", "scalar")
+    assert list((y >> 3) & 1) == [1, 0, 1, 0, 1]
+    # SIMD family: same raw-byte keep bits, case-folded hash codes
+    z = encode_xcodes("aAcC", "simd")
+    assert list(z & 7) == [0, 0, 1, 1]
+    assert list((z >> 3) & 1) == [1, 1, 1, 1]

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from rust_seq2kminmers_tpu.constants import CODE_PAD, encode_bases
+from rust_seq2kminmers_tpu.constants import XCODE_PAD, encode_xcodes
 from rust_seq2kminmers_tpu.oracle import HashMode, minimizers
 from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec, kminmer_pipeline
 from rust_seq2kminmers_tpu.ops.pallas.fused_scan import (
@@ -24,14 +24,14 @@ from rust_seq2kminmers_tpu.oracle import kminmers as oracle_kminmers
 
 
 def _batch(rng, B, L, alphabet="AACCGGTTAAAA"):
-    codes = np.full((B, L), CODE_PAD, dtype=np.uint8)
+    codes = np.full((B, L), XCODE_PAD, dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
     seqs = []
     for b in range(B):
         n = int(rng.integers(L // 2, L - 1))
         s = "".join(rng.choice(list(alphabet), size=n))
         seqs.append(s)
-        codes[b, :n] = encode_bases(s)
+        codes[b, :n] = encode_xcodes(s, "scalar")
         lengths[b] = n
     return codes, lengths, seqs
 
@@ -43,8 +43,9 @@ def _run_scan(codes, lengths, spec, block_rows=8):
         eff = np.zeros(B, dtype=np.int64)
         for b in range(B):
             c = codes[b, : lengths[b]]
-            k = np.ones(len(c), dtype=bool)
-            k[1:] = c[1:] != c[:-1]
+            k = (c & 8) != 0  # precomputed raw-byte-diff keep bits
+            if len(k):
+                k[0] = True
             eff[b] = k.sum()
     else:
         eff = lengths.astype(np.int64)
@@ -102,8 +103,8 @@ def test_fused_scan_run_spanning_blocks(rng):
     s = "".join(rng.choice(list("ACGT"), size=L - 300))
     # plant a long run straddling the first block boundary
     s = s[: block - 50] + "A" * 120 + s[block + 70 :]
-    codes = encode_bases(s)[None, :]
-    pad = np.full((1, L), CODE_PAD, dtype=np.uint8)
+    codes = encode_xcodes(s, "scalar")[None, :]
+    pad = np.full((1, L), XCODE_PAD, dtype=np.uint8)
     pad[0, : codes.shape[1]] = codes
     lengths = np.array([codes.shape[1]], dtype=np.int32)
     for mode in ["hpc", "hpcsimd"]:
@@ -117,11 +118,12 @@ def test_fused_scan_short_and_gated_reads(rng):
     """Reads with len <= l yield nothing (src/lib.rs:97 strict gate)."""
     l = 31
     L = 1024
-    codes = np.full((3, L), CODE_PAD, dtype=np.uint8)
+    codes = np.full((3, L), XCODE_PAD, dtype=np.uint8)
     lengths = np.array([l, l - 5, l + 1], dtype=np.int32)
     for b in range(3):
-        codes[b, : lengths[b]] = encode_bases(
-            "".join(rng.choice(list("ACGT"), size=int(lengths[b])))
+        codes[b, : lengths[b]] = encode_xcodes(
+            "".join(rng.choice(list("ACGT"), size=int(lengths[b]))),
+            "scalar",
         )
     spec = PipelineSpec(l=l, k=2, density=1.0, mode="regular")
     streams = _run_scan(codes, lengths, spec)

@@ -4,7 +4,12 @@ compaction kernel path)."""
 import numpy as np
 import pytest
 
-from rust_seq2kminmers_tpu.constants import CODE_PAD, encode_bases
+from rust_seq2kminmers_tpu.constants import (
+    CODE_PAD,
+    XCODE_PAD,
+    encode_bases,
+    encode_xcodes,
+)
 from rust_seq2kminmers_tpu.hpc_strings import encode_rle, encode_rle_simd, hpc
 
 
@@ -43,17 +48,17 @@ def test_tpu_hpc_compaction_matches_host(ecoli_seq, rng):
     from rust_seq2kminmers_tpu.ops.hpc import hpc_compress
 
     for seq in [ecoli_seq[:5000], "AACCTTGG", "A", "AAAAAA"]:
-        codes = encode_bases(seq)
+        codes = encode_xcodes(seq, "simd")
         n = len(codes)
         L = 8192
-        padded = np.full((1, L), CODE_PAD, dtype=np.uint8)
+        padded = np.full((1, L), XCODE_PAD, dtype=np.uint8)
         padded[0, :n] = codes
         hcodes, pos, hlen = hpc_compress(
             jnp.asarray(padded), jnp.asarray(np.array([n], np.int32))
         )
         m = int(hlen[0])
         want_s, want_p = encode_rle_simd(seq)
-        got = np.asarray(hcodes[0, :m])
+        got = np.asarray(hcodes[0, :m]) & 7
         assert m == len(want_s)
         np.testing.assert_array_equal(got, encode_bases(want_s))
         np.testing.assert_array_equal(

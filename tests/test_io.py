@@ -1,6 +1,6 @@
 """FASTA/FASTQ reader + packer tests: native C++ path vs the pure-Python
-fallback, both output formats (exact uint16 xcodes and legacy uint8 codes),
-multiline records, batching, and clipping.
+fallback, both output formats (exact uint8 xcodes with raw-byte-diff keep
+bits, and legacy plain codes), multiline records, batching, and clipping.
 
 The native reader replaces the reference's rust-parallelfastx dependency
 (reference src/main.rs:5,79)."""
@@ -12,7 +12,7 @@ from rust_seq2kminmers_tpu.constants import (
     BYTE_TO_CODE,
     CODE_PAD,
     XCODE_PAD,
-    xcode_table,
+    encode_xcodes,
 )
 from rust_seq2kminmers_tpu.io.fasta import FastaFile
 
@@ -64,12 +64,11 @@ def test_index_and_pack(tmp_path, native, text, recs):
             assert f.seq_len(i) == len(seq)
         # exact xcode format (default, scalar family)
         codes, lengths = f.pack(family="scalar")
-        assert codes.dtype == np.uint16
-        t = xcode_table("scalar")
+        assert codes.dtype == np.uint8
         for i, (_, seq) in enumerate(recs):
             n = lengths[i]
             assert n == len(seq)
-            exp = t[np.frombuffer(seq.encode(), np.uint8)]
+            exp = encode_xcodes(seq, "scalar")
             np.testing.assert_array_equal(codes[i, :n], exp)
             assert (codes[i, n:] == XCODE_PAD).all()
         # legacy uint8 format
@@ -108,7 +107,6 @@ def test_simd_family_table(tmp_path, native):
         codes, _ = f.pack(family="simd")
         # simd family case-folds and maps non-base nibbles to N's code
         assert [int(c) & 7 for c in codes[0, :7]] == [0, 1, 2, 3, 0, 4, 4]
-        # byte identity is preserved in the id bits
-        assert [int(c) >> 3 for c in codes[0, :7]] == [
-            ord(ch) for ch in "acgtQXN"
-        ]
+        # raw-byte-diff keep bits (all 7 bytes are distinct from their
+        # predecessor, so every position keeps)
+        assert [(int(c) >> 3) & 1 for c in codes[0, :7]] == [1] * 7

@@ -4,21 +4,25 @@ shard_map pipeline, ordered merge, and sequence-sharded SPMD execution."""
 import numpy as np
 import pytest
 
-from rust_seq2kminmers_tpu.constants import CODE_PAD, CODE_TO_BYTE
+from rust_seq2kminmers_tpu.constants import (
+    CODE_TO_BYTE,
+    XCODE_PAD,
+    with_keep_bits,
+)
 from rust_seq2kminmers_tpu.oracle import HashMode, kminmers as oracle_kminmers
 from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec, kminmer_pipeline
 
 
 def _random_batch(rng, B, L, lmin=200):
-    codes = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    codes = with_keep_bits(rng.integers(0, 4, size=(B, L)))
     lengths = rng.integers(lmin, L, size=B).astype(np.int32)
     for b in range(B):
-        codes[b, lengths[b] :] = CODE_PAD
+        codes[b, lengths[b] :] = XCODE_PAD
     return codes, lengths
 
 
 def _decode(codes, length):
-    return CODE_TO_BYTE[codes[:length]].tobytes().decode()
+    return CODE_TO_BYTE[codes[:length] & 7].tobytes().decode()
 
 
 @pytest.mark.parametrize("mode", ["regular", "hpcsimd"])
