@@ -67,6 +67,24 @@ def _rol32_lane(x, amounts):
     return (x << amounts) | _shrl(_shrl(x, 31 - amounts), 1)
 
 
+M31 = np.int32(0x7FFFFFFF)
+
+
+def _rol31_lane(x, amounts):
+    """31-bit rotate-left (NtHash2-31 variant, reference
+    src/nthash2_avx512_32.rs:186-215): x in [0, 2^31), amounts in [0, 31)."""
+    return ((x << amounts) | _shrl(x, 31 - amounts)) & M31
+
+
+def _mod31(x):
+    """Floor-mod 31 of int32 in (-2^22, 2^22) via exact f32 division, with
+    a +/-1 correction guard against float rounding at the boundary."""
+    q = jnp.floor(x.astype(F32) * (1.0 / 31.0)).astype(I32)
+    m = x - q * 31
+    m = jnp.where(m >= 31, m - 31, m)
+    return jnp.where(m < 0, m + 31, m)
+
+
 def _ult(a, b):
     return (a ^ SIGN) < (b ^ SIGN)
 
@@ -251,6 +269,9 @@ def _fused_kernel(
     emit_end: bool,
     br: int,
     nslots: int,
+    width: int,  # hash lane width: 32 (NtHash1) or 31 (NtHash2-31)
+    seed_f: np.ndarray,
+    seed_r: np.ndarray,
 ):
     if emit_end:
         start_out, end_out, hash_out, cnt_out, pend_ref, ext_ref, sm_ref = io_refs
@@ -304,13 +325,26 @@ def _fused_kernel(
         jax.lax.broadcasted_iota(I32, ext.shape, dimension=1)
     )
     r_glob = base - P0 + efl  # global kept rank of each ext element
-    rot_f = (-r_glob) & 31
-    a_f = _rol32_lane(_seed_tree(SEED_TABLE_F, ecode), rot_f)
-    a_r = _rol32_lane(_seed_tree(SEED_TABLE_R, ecode), r_glob & 31)
-    wf = _sliding_window_xor_flat(a_f, l)
-    wr = _sliding_window_xor_flat(a_r, l)
-    fh = _rol32_lane(wf, (jnp.int32(l - 1) + r_glob) & 31)
-    rh = _rol32_lane(wr, rot_f)
+    if width == 32:
+        rot_f = (-r_glob) & 31
+        a_f = _rol32_lane(_seed_tree(seed_f, ecode), rot_f)
+        a_r = _rol32_lane(_seed_tree(seed_r, ecode), r_glob & 31)
+        wf = _sliding_window_xor_flat(a_f, l)
+        wr = _sliding_window_xor_flat(a_r, l)
+        fh = _rol32_lane(wf, (jnp.int32(l - 1) + r_glob) & 31)
+        rh = _rol32_lane(wr, rot_f)
+    else:  # 31-bit NtHash2 variant: the same algebra mod 31
+        # reduce the carried scalar first so per-element values stay in
+        # f32-exact mod range regardless of read length
+        base31 = jax.lax.rem(base, jnp.int32(31))
+        r31 = _mod31(base31 - P0 + efl)
+        rot_f = _mod31(-r31 + 31)
+        a_f = _rol31_lane(_seed_tree(seed_f, ecode), rot_f)
+        a_r = _rol31_lane(_seed_tree(seed_r, ecode), r31)
+        wf = _sliding_window_xor_flat(a_f, l)
+        wr = _sliding_window_xor_flat(a_r, l)
+        fh = _rol31_lane(wf, _mod31(jnp.int32((l - 1) % 31) + r31))
+        rh = _rol31_lane(wr, rot_f)
     h = _umin(fh, rh)
 
     pos = _shrl(ext, 3)
@@ -353,22 +387,29 @@ def _fused_kernel(
 
     # ---- carry update ----
     # new pending = last l elements of the ext stream, right-aligned into
-    # one 128-lane row: flat source positions [128+cnt-l, 128+cnt).
+    # the last carry_rows 128-lane rows of the pending prefix: flat source
+    # positions [P0+cnt-l, P0+cnt).  One row suffices for l <= 127; two for
+    # l <= 255 (the reference scalar HPC ring buffer is 256 chars,
+    # src/nthash_hpc.rs:9-11).  Lanes before the window's first element may
+    # hold wrapped garbage — harmless, since every window touching them is
+    # masked out by f_lo = P0 - l.
     ext_ref[: br + 8, :] = ext
     ext_ref[pl.ds(br + 8, 1), :] = jnp.zeros((1, LANES), dtype=I32)
+    carry_rows = 1 if l <= LANES - 1 else 2
     src0 = P0 + cnt - l  # first source flat position
-    r0 = src0 // LANES
-    lane0 = src0 % LANES
-    two = ext_ref[pl.ds(r0, 2), :]  # [2, 128]
-    # want out[128-l+q] = two_flat[lane0+q], q in [0, l): per-row lane
-    # rotate left by s_true = lane0 - (128-l) (maybe negative), then lane d
-    # takes row 1 iff d + s_true >= 128.
-    s_true = lane0 - (LANES - l)
-    s = s_true % LANES
-    rot = pltpu.roll(two, (LANES - s) % LANES, 1)
     li1 = jax.lax.broadcasted_iota(I32, (1, LANES), dimension=1)
-    takes_row1 = li1 >= (LANES - s_true)
-    pend_ref[7:8, :] = jnp.where(takes_row1, rot[1:2], rot[0:1])
+    for j in range(carry_rows):
+        # out row (8 - carry_rows + j): out[d] = ext_flat[start + d]
+        start = src0 + j * LANES - (carry_rows * LANES - l)
+        r0 = start // LANES
+        lane0 = start % LANES
+        two = ext_ref[pl.ds(r0, 2), :]  # [2, 128]
+        rot = pltpu.roll(two, (LANES - lane0 % LANES) % LANES, 1)
+        takes_row1 = li1 >= (LANES - lane0)
+        row = 8 - carry_rows + j
+        pend_ref[row : row + 1, :] = jnp.where(
+            takes_row1, rot[1:2], rot[0:1]
+        )
 
     sm_ref[0] = base + cnt
 
@@ -389,6 +430,7 @@ def _nbits(n: int) -> int:
         "nslots",
         "block_rows",
         "interpret",
+        "variant",
     ),
 )
 def fused_minimizer_scan(
@@ -404,6 +446,7 @@ def fused_minimizer_scan(
     nslots: int = 16,
     block_rows: int = 256,
     interpret: bool = False,
+    variant: str = "nthash1",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused pass -> per-row survivor slots.
 
@@ -413,9 +456,14 @@ def fused_minimizer_scan(
     Slot rows are in sequence order; survivors of a row are its first
     min(row_count, nslots) slots.  row_count > nslots means slot overflow
     (detect with .max()); counts are exact regardless.
+
+    variant="nthash2" switches the hash lanes to the 31-bit NtHash2-hybrid
+    scheme (reference src/nthash2_avx512_32.rs, for l > 31 where 32-bit
+    NtHash1 degenerates).  l may go up to 255 (matching the reference
+    scalar HPC ring buffer, src/nthash_hpc.rs:9-11).
     """
-    if not (2 <= l <= 127):
-        raise ValueError(f"l={l} must be in [2, 127] for the fused kernel")
+    if not (2 <= l <= 255):
+        raise ValueError(f"l={l} must be in [2, 255] for the fused kernel")
     B, L = codes.shape
     if L >= (1 << 28):
         raise ValueError("padded length must be < 2^28 (positions are packed)")
@@ -441,6 +489,14 @@ def fused_minimizer_scan(
         (1, sr, 1), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
     )
 
+    if variant == "nthash2":
+        from ...constants import seed_tables_nthash2_31
+
+        seed_f, seed_r = seed_tables_nthash2_31()
+        width = 31
+    else:
+        seed_f, seed_r = SEED_TABLE_F, SEED_TABLE_R
+        width = 32
     kernel = functools.partial(
         _fused_kernel,
         l=l,
@@ -451,6 +507,9 @@ def fused_minimizer_scan(
         emit_end=emit_end,
         br=br,
         nslots=nslots,
+        width=width,
+        seed_f=seed_f,
+        seed_r=seed_r,
     )
     n_slot_arrays = 3 if emit_end else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -154,7 +154,7 @@ def kminmer_pipeline(
             and jax.default_backend() == "tpu"
         )
         or spec.compaction == "fused_interpret"
-    ) and 2 <= l <= 127 and spec.hash_width == 32 and spec.variant == "nthash1"
+    ) and 2 <= l <= 255 and spec.hash_width == 32
     if use_fused:
         return _fused_pipeline(codes, lengths, spec)
 
@@ -322,6 +322,7 @@ def _fused_pipeline(
         emit_end=emit_end,
         nslots=nslots,
         interpret=interpret,
+        variant=spec.variant,
     )
     # Phase 2: global ordered compaction of the (~16x reduced) slot arrays.
     # n_raw counts every selected minimizer (exact even on slot overflow;

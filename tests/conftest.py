@@ -1,18 +1,24 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+"""Test configuration: run JAX on a virtual 8-device CPU mesh by default.
 
 Multi-chip sharding is validated on host CPU devices
 (xla_force_host_platform_device_count); the driver separately dry-runs the
 multi-chip path and benches on real TPU hardware.
+
+Set RS2K_TPU_TESTS=1 to run on the real TPU chip instead (enables the
+`-m tpu` suite, tests/test_tpu.py: Mosaic-lowered kernels vs the oracle —
+the bridge between interpret-mode exactness and on-chip exactness).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+ON_TPU = os.environ.get("RS2K_TPU_TESTS") == "1"
+if not ON_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import sys
 from pathlib import Path
@@ -25,7 +31,17 @@ import pytest
 # actually run tests on the virtual CPU mesh.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    skip_tpu = pytest.mark.skip(
+        reason="needs RS2K_TPU_TESTS=1 and a real TPU chip"
+    )
+    for item in items:
+        if "tpu" in item.keywords and not ON_TPU:
+            item.add_marker(skip_tpu)
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))

@@ -114,6 +114,20 @@ def test_fused_scan_run_spanning_blocks(rng):
         assert got == ref, mode
 
 
+@pytest.mark.parametrize("l", [129, 255])
+@pytest.mark.parametrize("mode", ["hpc", "hpcsimd"])
+def test_fused_scan_large_l_two_row_carry(rng, mode, l):
+    """l in [128, 255] exercises the TWO-row cross-block carry (the
+    reference scalar HPC ring buffer is 256 chars, src/nthash_hpc.rs:9-11).
+    Runs spanning many blocks with l wider than one 128-lane row."""
+    codes, lengths, seqs = _batch(rng, B=2, L=4096, alphabet="AACCGGTT")
+    spec = PipelineSpec(l=l, k=2, density=0.2, mode=mode)
+    streams = _run_scan(codes, lengths, spec)
+    for b, s in enumerate(seqs):
+        ref = minimizers(s, l, 0.2, HashMode(mode))
+        assert streams[b] == ref, (mode, l, b)
+
+
 def test_fused_scan_short_and_gated_reads(rng):
     """Reads with len <= l yield nothing (src/lib.rs:97 strict gate)."""
     l = 31

@@ -96,3 +96,42 @@ def test_pipeline_nthash2_matches_oracle(rng, mode):
         assert (g.hash, g.start, g.end, g.offset, g.rev) == (
             r.hash, r.start, r.end, r.offset, r.rev
         )
+
+
+@pytest.mark.parametrize("l", [35, 63, 129])
+@pytest.mark.parametrize("mode", ["regular", "hpcsimd"])
+def test_fused_kernel_nthash2_matches_oracle(rng, mode, l):
+    """The PRODUCTION fused Pallas path (31-bit rotate lanes in-kernel,
+    interpret mode) with variant=nthash2 at l > 31, element-exact vs the
+    oracle."""
+    from rust_seq2kminmers_tpu.constants import XCODE_PAD, encode_xcodes
+    from rust_seq2kminmers_tpu.ops.pipeline import (
+        PipelineSpec,
+        kminmer_pipeline,
+    )
+    from rust_seq2kminmers_tpu.ops.u64 import to_py_u64
+
+    seq = "".join(rng.choice(list("AACCGGTTAANN"), size=2500))
+    L = 4096
+    codes = np.full((1, L), XCODE_PAD, dtype=np.uint8)
+    x = encode_xcodes(seq, "simd" if mode == "hpcsimd" else "scalar")
+    codes[0, : len(x)] = x
+    lengths = np.array([len(x)], dtype=np.int32)
+    spec = PipelineSpec(
+        l=l, k=3, density=0.08, mode=mode, max_minimizers=512,
+        variant="nthash2", compaction="fused_interpret",
+    )
+    out = jax.jit(lambda c, n: kminmer_pipeline(c, n, spec))(
+        jnp.asarray(codes), jnp.asarray(lengths)
+    )
+    ref = oracle_kminmers(
+        seq, l, 3, 0.08, HashMode(mode), variant="nthash2"
+    )
+    nk = int(out.n_kminmers[0])
+    assert nk == len(ref) and len(ref) > 0, (mode, l)
+    hashes = to_py_u64((out.hash_hi[0, :nk], out.hash_lo[0, :nk]))
+    for w, r in enumerate(ref):
+        assert int(hashes[w]) == r.hash, (mode, l, w)
+        assert int(out.start[0, w]) == r.start
+        assert int(out.end[0, w]) == r.end
+        assert bool(out.rev[0, w]) == r.rev

@@ -1,0 +1,102 @@
+"""Real-TPU validation suite (`-m tpu`, needs RS2K_TPU_TESTS=1): runs the
+Mosaic-lowered production kernels on the actual chip against the numpy
+oracle — closing the gap between "interpret-mode exact" (the default CPU
+test run) and "on-chip exact".
+
+    RS2K_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+Covers the golden u32/u64 hash values (reference tests/main.rs:18-57), the
+fused scan + slot compaction across all four modes on mixed-content reads,
+and the assembly kernel, all non-interpreted.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def tpu_device():
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform not in ("tpu", "axon") and "TPU" not in str(dev):
+        pytest.skip(f"not a TPU device: {dev}")
+    return dev
+
+
+def test_goldens_on_chip(tpu_device, ecoli_seq):
+    """The reference's golden k-min-mer hashes through the full jitted
+    pipeline, Mosaic-lowered (reference tests/main.rs:41-57, u32 config)."""
+    from rust_seq2kminmers_tpu.api import kminmers_list
+
+    kms = kminmers_list(ecoli_seq, 10, 5, 0.0001, "regular")
+    assert [k.hash for k in kms[:3]] == [
+        143479479014703,
+        1415094313937202,
+        7085699921625713,
+    ]
+    assert len(kms) == 15
+
+
+@pytest.mark.parametrize("mode", ["regular", "simd", "hpc", "hpcsimd"])
+def test_fused_pipeline_on_chip_matches_oracle(tpu_device, rng, mode):
+    """All four modes, Mosaic-lowered fused scan + slot compact + assembly,
+    record-exact vs the oracle on mixed-content (ACGTN + lowercase +
+    garbage bytes) reads."""
+    from rust_seq2kminmers_tpu.api import kminmers_list
+    from rust_seq2kminmers_tpu.oracle import HashMode, kminmers
+
+    alphabet = list("AACCGGTTAANNacgtQX")
+    for trial in range(3):
+        n = int(rng.integers(600, 3000))
+        s = "".join(rng.choice(alphabet, size=n))
+        got = kminmers_list(s, 13, 4, 0.05, HashMode(mode))
+        ref = kminmers(s, 13, 4, 0.05, HashMode(mode))
+        assert len(got) == len(ref), (mode, trial)
+        for g, r in zip(got, ref):
+            assert (g.hash, g.start, g.end, g.offset, g.rev) == (
+                r.hash, r.start, r.end, r.offset, r.rev,
+            ), (mode, trial)
+
+
+def test_u64_width_on_chip(tpu_device, ecoli_seq):
+    """u64 golden config (reference tests/main.rs:18-39) on the chip."""
+    from rust_seq2kminmers_tpu.api import kminmers_list
+
+    kms = kminmers_list(
+        ecoli_seq, 12, 5, 0.001, "regular", hash_width=64
+    )
+    assert len(kms) > 0
+    # cross-check vs oracle (bit-exact u64 values)
+    from rust_seq2kminmers_tpu.oracle import HashMode, kminmers
+
+    ref = kminmers(ecoli_seq, 12, 5, 0.001, HashMode.Regular, hash_width=64)
+    assert [k.hash for k in kms] == [r.hash for r in ref]
+
+
+def test_stream_on_chip(tpu_device, tmp_path, rng):
+    """Streaming runner end-to-end on the chip: bucketed mixed-length file,
+    ordered stream vs oracle."""
+    from rust_seq2kminmers_tpu.io.stream import StreamingRunner
+    from rust_seq2kminmers_tpu.oracle import HashMode, kminmers
+    from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec
+
+    seqs = [
+        "".join(rng.choice(list("ACGT"), size=int(n)))
+        for n in rng.integers(100, 2500, size=17)
+    ]
+    p = tmp_path / "mix.fa"
+    p.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)))
+    spec = PipelineSpec(l=11, k=3, density=0.05, mode="hpcsimd")
+    with StreamingRunner(p, spec, target_cells=1 << 14) as r:
+        st = r.run()
+        got = r.collect()
+    pos = 0
+    for i, s in enumerate(seqs):
+        for rec in kminmers(s, 11, 3, 0.05, HashMode.HpcSimd):
+            assert got["read"][pos] == i
+            assert got["hash"][pos] == np.uint64(rec.hash)
+            pos += 1
+    assert pos == st.total_kminmers
