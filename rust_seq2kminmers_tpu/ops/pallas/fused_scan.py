@@ -132,6 +132,22 @@ def _flat_shift_any(x, s: int):
 def _sliding_window_xor_flat(x, l: int):
     if l == 1:
         return x
+    # pow2-peel: for l = 2^k - 2^j the doubling chain to w_{2^k} plus ONE
+    # peel shift beats the binary ladder (e.g. l=31: 6 flat shifts vs 8):
+    #   w_l[i] = w_{2^k}[i] ^ w_{2^j}[i + l]
+    # (both terms read identical out-of-tile positions as zero, so the
+    # garbage beyond the valid stream cancels exactly).
+    lk = 1 << (l - 1).bit_length()  # next power of two >= l
+    r = lk - l
+    if r and (r & (r - 1)) == 0:
+        pw = {1: x}
+        w = x
+        m = 1
+        while m < lk:
+            w = w ^ _flat_shift_any(w, m)
+            m <<= 1
+            pw[m] = w
+        return pw[lk] ^ _flat_shift_any(pw[r], l)
     acc = None
     acc_len = 0
     w = x
@@ -269,6 +285,7 @@ def _fused_kernel(
     emit_end: bool,
     br: int,
     nslots: int,
+    rows_out: int,  # dense 128-lane survivor rows emitted per block
     width: int,  # hash lane width: 32 (NtHash1) or 31 (NtHash2-31)
     seed_f: np.ndarray,
     seed_r: np.ndarray,
@@ -301,7 +318,6 @@ def _fused_kernel(
     ri = jax.lax.broadcasted_iota(I32, main.shape, dimension=0)
     li = jax.lax.broadcasted_iota(I32, main.shape, dimension=1)
     absj = t * (br * LANES) + ri * LANES + li
-    packed = (absj << 3) | (main & 7)
 
     if do_hpc:
         keep = ((main & 8) != 0) & (absj < length)
@@ -309,10 +325,39 @@ def _fused_kernel(
         rank = _flat_rank_inclusive(keep_i)
         cnt = jnp.sum(keep_i)  # scalar reduction (vector->scalar extract
         # of rank[-1, -1] is not lowerable on Mosaic)
-        off = jnp.where(keep, (ri * LANES + li) - (rank - 1), DROP)
-        (comp,) = _move_compact(off, [packed], _nbits(br * LANES))
+        pos_loc = ri * LANES + li
+        nb = _nbits(br * LANES)
+        if 17 + nb <= 31:
+            # single-payload move: (off | code | in-block pos) packed in
+            # one i32 — the compaction shifts ONE array per round instead
+            # of two (off + data), ~halving the dominant HPC move cost.
+            # Fields: pos 0..13, code 14..16, off 17..30; needs
+            # br*LANES <= 2^14 (the pipeline uses block_rows=128 for HPC).
+            v = jnp.where(
+                keep,
+                ((pos_loc - (rank - 1)) << 17)
+                | ((main & 7) << 14)
+                | pos_loc,
+                0,
+            )
+            for b_ in range(nb):
+                shv = 1 << (17 + b_)
+                v_in = _flat_shift_any(v, 1 << b_)
+                take = (v_in & shv) != 0
+                v = jnp.where(
+                    take,
+                    v_in - shv,
+                    jnp.where((v & shv) == 0, v, 0),
+                )
+            comp = (
+                (t * (br * LANES) + (v & (br * LANES - 1))) << 3
+            ) | (_shrl(v, 14) & 7)
+        else:  # wide blocks: classic two-array move
+            packed = (absj << 3) | (main & 7)
+            off = jnp.where(keep, pos_loc - (rank - 1), DROP)
+            (comp,) = _move_compact(off, [packed], nb)
     else:
-        comp = packed
+        comp = (absj << 3) | (main & 7)
         cnt = jnp.int32(br * LANES)
 
     # 8-row pending prefix keeps every tile sublane-aligned (no {0,127}
@@ -373,17 +418,70 @@ def _fused_kernel(
         & (r_glob <= limit)
     )
 
-    # ---- per-row slot compaction + fixed-shape writes ----
+    # ---- per-row slot compaction ----
     cols_in = [pos, end_col, h] if emit_end else [pos, h]
     packed_cols, rc = _lane_compact_slots(mask.astype(I32), cols_in)
+    raw_total = jnp.sum(mask.astype(I32))
+
+    # ---- block-dense second level ----
+    # The per-row slots are ~99% empty at production densities; writing
+    # them to HBM (and re-reading in phase 2) costs more memory bandwidth
+    # than the whole rest of the pipeline.  Gather each row's slot prefix
+    # into a dense [GR, 128] tile (GR = sr/(128/NS) rows — 1/8 the main
+    # tile at NS=16) and left-pack the block's survivors into `rows_out`
+    # dense rows: the move runs over the small tile (13 rounds over 1/8
+    # the elements), and slot HBM traffic shrinks by NS*sr/(rows_out*128)
+    # (~5x at d=0.01).
+    sr_rows = br + 8
+    rpd = LANES // nslots  # ext rows packed per dense row
+    GR = sr_rows // rpd
+    li_s = jax.lax.broadcasted_iota(I32, (sr_rows, LANES), 1)
+    valid = (li_s < jnp.minimum(rc, nslots)).astype(I32)
+
+    def gather_dense(c):
+        v = c.reshape(GR, rpd, LANES)
+        lid = jax.lax.broadcasted_iota(I32, (GR, LANES), 1)
+        out = jnp.zeros((GR, LANES), dtype=I32)
+        for kq in range(rpd):
+            seg = (lid >= kq * nslots) & (lid < (kq + 1) * nslots)
+            out = jnp.where(
+                seg, pltpu.roll(v[:, kq, :], kq * nslots, 1), out
+            )
+        return out
+
+    dm = gather_dense(valid)
+    dcols = [gather_dense(c) for c in packed_cols]
+    drank = _flat_rank_inclusive(dm)
+    kept_total = jnp.sum(dm)
+    ri_d = jax.lax.broadcasted_iota(I32, dm.shape, dimension=0)
+    li_d = jax.lax.broadcasted_iota(I32, dm.shape, dimension=1)
+    doff = jnp.where(
+        dm != 0, (ri_d * LANES + li_d) - (drank - 1), DROP
+    )
+    dcols = _move_compact(doff, dcols, _nbits(GR * LANES))
+
+    def _take(c):  # first rows_out rows, zero-padded if GR < rows_out
+        if rows_out <= GR:
+            return c[:rows_out]
+        return jnp.concatenate(
+            [c, jnp.zeros((rows_out - GR, LANES), dtype=I32)], axis=0
+        )
+
     if emit_end:
-        ps_, pe_, ph_ = packed_cols
-        end_out[0] = pe_[:, :nslots]
+        ds_, de_, dh_ = dcols
+        end_out[0] = _take(de_)
     else:
-        ps_, ph_ = packed_cols
-    start_out[0] = ps_[:, :nslots]
-    hash_out[0] = ph_[:, :nslots]
-    cnt_out[0] = rc
+        ds_, dh_ = dcols
+    start_out[0] = _take(ds_)
+    hash_out[0] = _take(dh_)
+    cnt_out[0] = jnp.concatenate(
+        [
+            jnp.full((1, LANES), kept_total, dtype=I32),
+            jnp.full((1, LANES), raw_total, dtype=I32),
+            jnp.zeros((6, LANES), dtype=I32),
+        ],
+        axis=0,
+    )
 
     # ---- carry update ----
     # new pending = last l elements of the ext stream, right-aligned into
@@ -431,6 +529,7 @@ def _nbits(n: int) -> int:
         "block_rows",
         "interpret",
         "variant",
+        "rows_out",
     ),
 )
 def fused_minimizer_scan(
@@ -447,15 +546,20 @@ def fused_minimizer_scan(
     block_rows: int = 256,
     interpret: bool = False,
     variant: str = "nthash1",
+    rows_out: int = 0,  # dense survivor rows per block (0 = lossless max)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One fused pass -> per-row survivor slots.
+    """One fused pass -> block-dense survivor rows.
 
-    Returns (start int32[B, SR, nslots], end (None when emit_end=False —
-    ends are then start + l - 1), hash ... (u32 bit patterns), row_counts
-    int32[B, SR]) with SR = nt * (block_rows + 8).
-    Slot rows are in sequence order; survivors of a row are its first
-    min(row_count, nslots) slots.  row_count > nslots means slot overflow
-    (detect with .max()); counts are exact regardless.
+    Returns (start int32[B, nt*rows_out, 128], end (None when
+    emit_end=False — ends are then start + l - 1), hash ... (u32 bit
+    patterns), counts int32[B, nt, 2]).  Block t's survivors are the first
+    counts[b, t, 0] elements of its rows_out dense rows, in sequence
+    order; counts[b, t, 1] is the RAW selected count (> kept implies
+    per-row slot or block-capacity overflow — never silent).
+
+    rows_out bounds the dense survivor capacity per block (rows_out*128
+    elements); callers size it from the density like the per-row slots
+    (see ops/pipeline.py).  0 keeps the lossless maximum.
 
     variant="nthash2" switches the hash lanes to the 31-bit NtHash2-hybrid
     scheme (reference src/nthash2_avx512_32.rs, for l > 31 where 32-bit
@@ -478,15 +582,23 @@ def fused_minimizer_scan(
     br = block_rows
     nt = rows // br
     sr = br + 8  # ext rows (8-row pending prefix + br main) — aligned
+    # the dense gather needs 128 % nslots == 0 and (128//nslots) | sr
+    while LANES % nslots or sr % (LANES // nslots):
+        nslots += 8
+    gr = sr * nslots // LANES  # dense slot rows per block (lossless max)
+    rows_out = gr if rows_out <= 0 else min(rows_out, gr)
+    rows_out = -(-rows_out // 8) * 8  # sublane-aligned output blocks
 
     main_spec = pl.BlockSpec(
         (1, br, LANES), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
     )
     slot_spec = pl.BlockSpec(
-        (1, sr, nslots), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
+        (1, rows_out, LANES),
+        lambda b, t, *_: (b, t, 0),
+        memory_space=pltpu.VMEM,
     )
     cnt_spec = pl.BlockSpec(
-        (1, sr, 1), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
+        (1, 8, LANES), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
     )
 
     if variant == "nthash2":
@@ -507,6 +619,7 @@ def fused_minimizer_scan(
         emit_end=emit_end,
         br=br,
         nslots=nslots,
+        rows_out=rows_out,
         width=width,
         seed_f=seed_f,
         seed_r=seed_r,
@@ -526,9 +639,9 @@ def fused_minimizer_scan(
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, nt * sr, nslots), I32)]
+        out_shape=[jax.ShapeDtypeStruct((B, nt * rows_out, LANES), I32)]
         * n_slot_arrays
-        + [jax.ShapeDtypeStruct((B, nt * sr, 1), I32)],
+        + [jax.ShapeDtypeStruct((B, nt * 8, LANES), I32)],
         interpret=interpret,
     )(limit.astype(I32), lengths.astype(I32), codes.reshape(B, rows, LANES))
     if emit_end:
@@ -536,4 +649,5 @@ def fused_minimizer_scan(
     else:
         start, hsh, cnts = outs
         end = None
-    return start, end, hsh, cnts[..., 0]
+    counts = cnts.reshape(B, nt, 8, LANES)[:, :, :2, 0]  # [B, nt, (kept, raw)]
+    return start, end, hsh, counts

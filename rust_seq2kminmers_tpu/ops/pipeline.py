@@ -307,10 +307,24 @@ def _fused_pipeline(
         if spec.slots is not None
         else slots_for_density(spec.density)
     )
+    # 256-row blocks: measured faster than 128-row (which would enable the
+    # single-payload packed HPC move) — per-block fixed costs dominate.
+    block_rows = 256
+    # Dense block capacity: like slots_for_density but per-block
+    # (binomial mean + generous tail); slot/capacity overflow is
+    # detected via counts and recovered by the api retry loop.
+    blk = block_rows * 128
+    mean = blk * max(spec.density, 0.0)
+    rows_out = int(
+        min(
+            -(-(2.0 * mean + 5.0 * (mean ** 0.5) + 192.0) // 128),
+            -(-blk // 128),
+        )
+    )
     # regular/simd: end == start + l - 1, derived after compaction — the
     # whole end column is skipped through both kernels.
     emit_end = spec.is_hpc
-    st, en, hs, rcnt = fused_minimizer_scan(
+    st, en, hs, counts = fused_minimizer_scan(
         codes,
         lengths,
         limit,
@@ -321,25 +335,30 @@ def _fused_pipeline(
         spec.mode == "hpc",
         emit_end=emit_end,
         nslots=nslots,
+        block_rows=block_rows,
         interpret=interpret,
         variant=spec.variant,
+        rows_out=rows_out,
     )
-    # Phase 2: global ordered compaction of the (~16x reduced) slot arrays.
-    # n_raw counts every selected minimizer (exact even on slot overflow;
-    # n_raw > n_minimizers implies loss — from slot overflow or m_cap).
-    _, SR, NS = st.shape
-    n_raw = rcnt.sum(axis=1)
+    # Phase 2: global ordered compaction of the block-dense survivor rows.
+    # n_raw counts every selected minimizer (exact even on overflow;
+    # n_raw > n_minimizers implies loss — slot/block capacity or m_cap).
+    _, SB, _ = st.shape
+    NT = counts.shape[1]
+    RO = SB // NT
+    kept = jnp.minimum(counts[:, :, 0], RO * 128)
+    n_raw = counts[:, :, 1].sum(axis=1)
     slot_valid = (
-        jnp.arange(NS, dtype=I32)[None, None, :]
-        < jnp.minimum(rcnt, NS)[..., None]
+        jnp.arange(RO * 128, dtype=I32)[None, None, :]
+        < kept[:, :, None]
     )
-    sv = slot_valid.reshape(B, SR * NS)
-    slot_cols = [st.reshape(B, SR * NS), hs.reshape(B, SR * NS)]
+    sv = slot_valid.reshape(B, SB * 128)
+    slot_cols = [st.reshape(B, SB * 128), hs.reshape(B, SB * 128)]
     if emit_end:
-        slot_cols.insert(1, en.reshape(B, SR * NS))
+        slot_cols.insert(1, en.reshape(B, SB * 128))
     # Dense one-block compaction requires the whole slot row (+ working
     # copies) to fit scoped VMEM (~16 MB): gate on total live estimate.
-    if SR * NS * (len(slot_cols) + 1) * 4 * 5 <= 12 * (1 << 20):
+    if SB * 128 * (len(slot_cols) + 1) * 4 * 5 <= 12 * (1 << 20):
         from .pallas.slot_compact import slot_compact
 
         packed, n_slotted = slot_compact(

@@ -85,18 +85,20 @@ def main():
     scan_time(scan_only, "fused scan (hpc)")
 
     # fixed slot arrays, vary mask cheaply by xor on counts
-    st, en, hs, rcnt = jax.block_until_ready(
+    st, en, hs, counts = jax.block_until_ready(
         fused_minimizer_scan(
             codes, lengths, limit, 31, int(spec.bound), True, True, False,
             emit_end=True, nslots=nslots,
         )
     )
-    _, SR, NS = st.shape
+    _, SB, _ = st.shape
+    NT = counts.shape[1]
+    RO = SB // NT
     sv = (
-        jnp.arange(NS, dtype=jnp.int32)[None, None, :]
-        < jnp.minimum(rcnt, NS)[..., None]
-    ).reshape(B, SR * NS)
-    cols = [st.reshape(B, SR * NS), en.reshape(B, SR * NS), hs.reshape(B, SR * NS)]
+        jnp.arange(RO * 128, dtype=jnp.int32)[None, None, :]
+        < jnp.minimum(counts[:, :, 0], RO * 128)[..., None]
+    ).reshape(B, SB * 128)
+    cols = [st.reshape(B, SB * 128), en.reshape(B, SB * 128), hs.reshape(B, SB * 128)]
 
     def slotc(i):
         packed, n = slot_compact(sv, [cols[0] + i, cols[1], cols[2]], m_cap)

@@ -66,19 +66,23 @@ def _run_scan(codes, lengths, spec, block_rows=8):
         interpret=True,
     )
     st, en, hs, cnts = map(np.asarray, (st, en, hs, cnts))
-    assert cnts.max(initial=0) <= nslots, "slot overflow"
+    # counts[b, t] = (kept, raw): nothing may be dropped in these tests
+    np.testing.assert_array_equal(cnts[..., 0], cnts[..., 1])
+    NT = cnts.shape[1]
+    RO = st.shape[1] // NT
     streams = []
     for b in range(B):
         got = []
-        for r in range(st.shape[1]):
-            for q in range(min(cnts[b, r], nslots)):
-                got.append(
-                    (
-                        int(st[b, r, q]),
-                        int(en[b, r, q]),
-                        int(np.uint32(hs[b, r, q])),
-                    )
-                )
+        for t in range(NT):
+            n = int(cnts[b, t, 0])
+            blk = slice(t * RO, (t + 1) * RO)
+            s_ = st[b, blk].reshape(-1)[:n]
+            e_ = en[b, blk].reshape(-1)[:n]
+            h_ = hs[b, blk].reshape(-1)[:n]
+            got.extend(
+                (int(s_[q]), int(e_[q]), int(np.uint32(h_[q])))
+                for q in range(n)
+            )
         streams.append(got)
     return streams
 
