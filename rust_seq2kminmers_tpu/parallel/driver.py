@@ -33,6 +33,9 @@ class ShardedKminmers(NamedTuple):
     global_offset: jnp.ndarray  # int32[B]: base offset of each read's
     # k-min-mers in the globally ordered stream
     total: jnp.ndarray  # int32[]: total k-min-mers across the batch
+    lost: jnp.ndarray  # int32[]: REPLICATED count of shards that dropped
+    # minimizers (capacity overflow) — every host sees the same value, so
+    # the distributed retry loop (multihost.py) stays collective-safe
 
 
 def make_dp_pipeline(spec: PipelineSpec, mesh: Mesh):
@@ -53,6 +56,7 @@ def make_dp_pipeline(spec: PipelineSpec, mesh: Mesh):
             batch=KminmerBatch(*([P("data", None)] * 5 + [P("data")] + [P("data", None)] * 4 + [P("data")] * 2)),
             global_offset=P("data"),
             total=P(),
+            lost=P(),
         ),
         check_vma=False,
     )
@@ -65,8 +69,15 @@ def make_dp_pipeline(spec: PipelineSpec, mesh: Mesh):
         my = jax.lax.axis_index("data") * b_local
         local_base = jax.lax.dynamic_slice_in_dim(excl, my, b_local)
         total = jnp.sum(all_counts).astype(I32)
+        lost = jax.lax.psum(
+            jnp.any(out.n_minimizers < out.n_minimizers_raw).astype(I32),
+            "data",
+        )
         return ShardedKminmers(
-            batch=out, global_offset=local_base.astype(I32), total=total
+            batch=out,
+            global_offset=local_base.astype(I32),
+            total=total,
+            lost=lost,
         )
 
     return jax.jit(step)

@@ -135,7 +135,13 @@ def run_file_distributed(
         )
     fam = family_of_mode(spec.mode)
 
-    step = make_dp_pipeline(spec, mesh)
+    steps = {}  # spec -> jitted sharded step (capacity-escalation cache)
+
+    def step_for(s):
+        if s not in steps:
+            steps[s] = make_dp_pipeline(s, mesh)
+        return steps[s]
+
     csh = NamedSharding(mesh, P("data", None))
     lsh = NamedSharding(mesh, P("data"))
 
@@ -155,19 +161,38 @@ def run_file_distributed(
         glens = jax.make_array_from_process_local_data(
             lsh, lengths.astype(np.int32)
         )
-        res = step(gcodes, glens)
+        # Collective-safe overflow recovery: `res.lost` is a psum, so every
+        # process reads the SAME value and takes the same retry path — the
+        # capacity escalation below is deterministic, keeping all hosts'
+        # compiled steps identical (no divergence/deadlock).  Mirrors the
+        # single-host api.kminmers_batch loop; the reference never drops a
+        # minimizer (its drain buffers grow per survivor,
+        # reference src/nthash_avx512_32.rs:139-141).
+        rspec = spec
+        for _ in range(8):
+            res = step_for(rspec)(gcodes, glens)
+            if int(np.asarray(res.lost)) == 0:
+                break
+            cur_m = rspec.max_minimizers or rspec.capacity_for(pad)
+            cur_s = rspec.slots
+            if cur_s is None:
+                from ..ops.pallas.fused_scan import slots_for_density
+
+                cur_s = slots_for_density(rspec.density)
+            rspec = dataclasses.replace(
+                rspec,
+                max_minimizers=min(pad, cur_m * 2),
+                slots=min(128, cur_s * 2),
+            )
+        else:
+            raise RuntimeError(
+                "minimizer capacity overflow not resolved after 8 "
+                "distributed retries"
+            )
 
         b = res.batch
         counts = _addressable_rows(b.n_kminmers)
         bases = _addressable_rows(res.global_offset)
-        n_min = _addressable_rows(b.n_minimizers)
-        n_raw = _addressable_rows(b.n_minimizers_raw)
-        if (n_min < n_raw).any():
-            raise RuntimeError(
-                "minimizer capacity overflow in distributed run; raise "
-                "spec.max_minimizers/slots (rows "
-                f"{np.nonzero(n_min < n_raw)[0] + lfirst})"
-            )
         hashes = to_py_u64(
             (_addressable_rows(b.hash_hi), _addressable_rows(b.hash_lo))
         )

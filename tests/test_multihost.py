@@ -63,6 +63,49 @@ def fasta_file(tmp_path_factory):
     return p, seqs
 
 
+def test_distributed_overflow_recovery(tmp_path):
+    """The collective-safe retry loop: a deliberately starved capacity must
+    escalate (same decision on every host, driven by the replicated `lost`
+    psum) until nothing is dropped — the reference never drops a minimizer
+    (src/nthash_avx512_32.rs:139-141)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import dataclasses
+
+    import numpy as np
+
+    from rust_seq2kminmers_tpu.oracle import HashMode, kminmers
+    from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec
+    from rust_seq2kminmers_tpu.parallel.multihost import (
+        global_data_mesh,
+        run_file_distributed,
+    )
+
+    rng = np.random.default_rng(11)
+    seqs = ["".join(rng.choice(list("ACGT"), size=600)) for _ in range(16)]
+    p = tmp_path / "dense.fa"
+    p.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)))
+    # density 0.4 with capacity for ~8 minimizers: guaranteed overflow
+    spec = PipelineSpec(
+        l=9, k=3, density=0.4, mode="regular", max_minimizers=8, slots=8
+    )
+    chunks = run_file_distributed(
+        p, spec, mesh=global_data_mesh(), rows_per_device=2
+    )
+    got_hash = np.concatenate([c.records["hash"] for c in chunks])
+    got_read = np.concatenate([c.records["read"] for c in chunks])
+    pos = 0
+    for i, s in enumerate(seqs):
+        for rec in kminmers(s, 9, 3, 0.4, HashMode.Regular):
+            assert got_read[pos] == i and got_hash[pos] == np.uint64(
+                rec.hash
+            ), (i, pos)
+            pos += 1
+    assert pos == len(got_hash)
+
+
 @pytest.mark.slow
 def test_two_process_stream_matches_single(fasta_file, tmp_path):
     fasta, seqs = fasta_file

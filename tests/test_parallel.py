@@ -84,7 +84,10 @@ def test_merge_ordered_large_batch(rng):
         n_minimizers=counts, n_minimizers_raw=counts,
     )
     merged = merge_ordered(
-        ShardedKminmers(batch=batch, global_offset=bases, total=np.int32(total))
+        ShardedKminmers(
+            batch=batch, global_offset=bases, total=np.int32(total),
+            lost=np.int32(0),
+        )
     )
     assert len(merged["hash"]) == total
     # spot-check a sample of reads element-exactly
