@@ -129,6 +129,21 @@ def _flat_shift_any(x, s: int):
     return _flat_shift(_row_shift_up(x, q), r)
 
 
+def _flat_shift_dyn(x, s):
+    """y_flat[i] = x_flat[i + s] for a DYNAMIC scalar s in [0, R*128);
+    positions wrapping past the end read garbage (callers mask).  Uses
+    pltpu.roll's dynamic shift: one sublane roll + one lane roll + the
+    row-boundary select."""
+    R = x.shape[0]
+    q = s // LANES
+    r = s % LANES
+    xq = pltpu.roll(x, (R - q) % R, 0)
+    a = pltpu.roll(xq, (LANES - r) % LANES, 1)
+    b = _row_shift_up(a, 1)
+    li = jax.lax.broadcasted_iota(I32, x.shape, dimension=1)
+    return jnp.where(li < LANES - r, a, b)
+
+
 def _sliding_window_xor_flat(x, l: int):
     if l == 1:
         return x
@@ -352,7 +367,44 @@ def _fused_kernel(
             comp = (
                 (t * (br * LANES) + (v & (br * LANES - 1))) << 3
             ) | (_shrl(v, 14) & 7)
-        else:  # wide blocks: classic two-array move
+        elif br % 2 == 0 and 17 + _nbits(br * LANES // 2) <= 31:
+            # two-half packed move (production br=256): each half's
+            # survivors compact independently with 14-bit in-half offsets
+            # (still one payload array per round), then ONE dynamic flat
+            # shift splices half 2 onto half 1's kept prefix.
+            half = br // 2
+            hbase = half * LANES
+            in2 = ri >= half
+            cnt1 = jnp.sum(keep_i * (1 - in2.astype(I32)))
+            pos_h = jnp.where(in2, pos_loc - hbase, pos_loc)
+            rk_h = jnp.where(in2, rank - cnt1, rank)
+            v = jnp.where(
+                keep,
+                ((pos_h - (rk_h - 1)) << 17)
+                | ((main & 7) << 14)
+                | pos_h,
+                0,
+            )
+            for b_ in range(_nbits(hbase)):
+                shv = 1 << (17 + b_)
+                v_in = _flat_shift_any(v, 1 << b_)
+                take = (v_in & shv) != 0
+                v = jnp.where(
+                    take,
+                    v_in - shv,
+                    jnp.where((v & shv) == 0, v, 0),
+                )
+            comp = (
+                (
+                    t * (br * LANES)
+                    + jnp.where(in2, hbase, 0)
+                    + (v & (hbase - 1))
+                )
+                << 3
+            ) | (_shrl(v, 14) & 7)
+            spliced = _flat_shift_dyn(comp, hbase - cnt1)
+            comp = jnp.where(pos_loc >= cnt1, spliced, comp)
+        else:  # very wide blocks: classic two-array move
             packed = (absj << 3) | (main & 7)
             off = jnp.where(keep, pos_loc - (rank - 1), DROP)
             (comp,) = _move_compact(off, [packed], nb)
