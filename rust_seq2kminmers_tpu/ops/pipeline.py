@@ -50,6 +50,17 @@ class PipelineSpec:
     (src/lib.rs:29-39,89).  `max_minimizers` is the static capacity M of the
     compacted minimizer stream per read; selected minimizers beyond M are
     dropped (detectable via KminmerBatch.n_minimizers_raw).
+
+    l limits — a DELIBERATE extension over the reference: the reference
+    asserts l <= 31 in its SIMD paths (src/nthash_avx512_32.rs:33, because
+    32-bit NtHash1 rotations degenerate for l >= 32) and l < 256 in the
+    scalar HPC path (BUFLEN=256, src/nthash_hpc.rs:9-11).  This pipeline
+    accepts l up to 255 for EVERY mode: the fused kernel's carry covers
+    l <= 255, and for l > 31 the variant="nthash2" 31-bit scheme gives
+    non-degenerate hashes.  The reference's own limits are enforced only
+    at the API layer (api.kminmers_list strict_limits=True, the default),
+    so reference-compatible callers get reference-compatible errors while
+    the pipeline itself is more general.
     """
 
     l: int
