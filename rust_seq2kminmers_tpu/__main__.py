@@ -27,7 +27,8 @@ def demo():
     seq = DEMO_SEQ
     print(f"seq:    {seq!r}")
     print(f"HPC:    {hpc(seq)!r}")
-    print(f"encode_rle:{encode_rle(seq)!r}")
+    rle_s, rle_p = encode_rle(seq)
+    print(f"encode_rle:({rle_s!r}, {rle_p.tolist()!r})")
     print(
         "Demonstrating how to construct k-min-mers (l=28, k=5, d=0.1) "
         f"out of a test sequence: {seq}"

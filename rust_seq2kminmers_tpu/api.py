@@ -90,16 +90,28 @@ def kminmers_batch(codes, lengths, spec, max_retries: int = 8):
         worst = int(n_raw.max())
         if worst > m_cap:
             changes["max_minimizers"] = _round_cap(worst)
-        # rows that lost elements before the M clip overflowed their slots
+        # Rows that lost elements before the M clip overflowed either the
+        # per-row survivor slots or the block-dense capacity; escalate BOTH
+        # (the loss counts cannot distinguish them, and a low-complexity
+        # repeat region can saturate the block capacity with roomy slots).
         if (n_min < np.minimum(n_raw, m_cap)).any():
             from .ops.pallas.fused_scan import slots_for_density
+            from .ops.pipeline import default_rows_out
 
             cur = (
                 spec.slots
                 if spec.slots is not None
                 else slots_for_density(spec.density)
             )
-            changes["slots"] = min(128, cur * 2)
+            if cur < 128:
+                changes["slots"] = min(128, cur * 2)
+            cur_rows = (
+                spec.rows_out
+                if spec.rows_out is not None
+                else default_rows_out(spec.density)
+            )
+            if cur_rows < 256:  # fused kernel clamps to its lossless max
+                changes["rows_out"] = cur_rows * 2
         if not changes:  # pragma: no cover — defensive
             return out
         spec = _dc.replace(spec, **changes)

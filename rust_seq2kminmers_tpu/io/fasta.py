@@ -83,8 +83,13 @@ def _load_native():
             ]
             lib.s2k_seq_lens.restype = None
             lib.s2k_seq_lens.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
-            lib.s2k_hpc_rle.restype = ctypes.c_int64
-            lib.s2k_hpc_rle.argtypes = [
+            lib.s2k_hpc_rle32.restype = ctypes.c_int64
+            lib.s2k_hpc_rle32.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.s2k_hpc_rle64.restype = ctypes.c_int64
+            lib.s2k_hpc_rle64.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p,
             ]

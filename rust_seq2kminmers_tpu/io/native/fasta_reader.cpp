@@ -9,7 +9,10 @@
 // Exposed as a plain C API consumed from Python via ctypes (no pybind11 in
 // this image).
 
+#include <immintrin.h>
+
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -347,34 +350,27 @@ int64_t s2k_packx_idx(void* h, const int64_t* indices, int64_t count,
   return ok.load();
 }
 
-// Host HPC string kernels (the reference's hpc/encode_rle/encode_rle_simd
-// surface, reference src/hpc.rs): run-length-collapse `seq` into
-// caller-allocated out_chars[n] / out_pos[n] (original start-of-run
-// positions), returning the kept count.  collapse_any=1 collapses runs of
-// ANY byte (hpc()/encode_rle_simd semantics, src/hpc.rs:28-41,88);
-// collapse_any=0 collapses only runs of "ACTGactgNn" (encode_rle,
-// src/hpc.rs:14).
-int64_t s2k_hpc_rle(const uint8_t* seq, int64_t n, int collapse_any,
-                    uint8_t* out_chars, int64_t* out_pos) {
-  static bool collapsible[256];
-  static bool init = false;
-  if (!init) {
-    for (const char* p = "ACTGactgNn"; *p; p++)
-      collapsible[static_cast<uint8_t>(*p)] = true;
-    init = true;
-  }
-  int64_t m = 0;
-  int prev = -1;
-  for (int64_t i = 0; i < n; i++) {
-    uint8_t c = seq[i];
-    if (c != prev || (!collapse_any && !collapsible[c])) {
-      out_chars[m] = c;
-      out_pos[m] = i;
-      m++;
-    }
-    prev = c;
-  }
-  return m;
+}  // extern "C"
+
+// Host HPC string kernels: see rle_kernels.h (shared with the CPython
+// extension s2kext.cpp).  Exposed here for the ctypes fallback path:
+// run-length-collapse `seq` into caller-allocated out_chars[n] /
+// out_pos[n] (original start-of-run positions), returning the kept count.
+// collapse_any=1 collapses runs of ANY byte (hpc()/encode_rle_simd
+// semantics, reference src/hpc.rs:28-41,88); collapse_any=0 collapses only
+// runs of "ACTGactgNn" (encode_rle, src/hpc.rs:14).
+#include "rle_kernels.h"
+
+extern "C" {
+
+int64_t s2k_hpc_rle32(const uint8_t* seq, int64_t n, int collapse_any,
+                      uint8_t* out_chars, int32_t* out_pos) {
+  return s2k::rle_dispatch<int32_t>(seq, n, collapse_any, out_chars, out_pos);
+}
+
+int64_t s2k_hpc_rle64(const uint8_t* seq, int64_t n, int collapse_any,
+                      uint8_t* out_chars, int64_t* out_pos) {
+  return s2k::rle_dispatch<int64_t>(seq, n, collapse_any, out_chars, out_pos);
 }
 
 void s2k_close(void* h) {

@@ -54,7 +54,10 @@ def plan_buckets(
     Returns [(pad, rows_per_batch, record_indices)] with indices ascending
     inside each bucket; rows_per_batch ~ target_cells / pad so batches cost
     the same compute regardless of read length, and each bucket compiles
-    one (rows, pad) pipeline shape.
+    one (rows, pad) pipeline shape.  rows_per_batch is also clamped to the
+    bucket's actual occupancy (rounded up to the row quantum), so a small
+    file never compiles — or runs — a mostly-dead batch shape (a single
+    100 kb read gets an [8, 131072] batch, not [256, 131072]).
     """
     lens = np.asarray(lens, dtype=np.int64)
     pads = np.maximum(PAD_QUANTUM, 1 << np.ceil(
@@ -63,7 +66,8 @@ def plan_buckets(
     for pad in np.unique(pads):
         idx = np.nonzero(pads == pad)[0]
         rows = int(min(max_rows, max(ROW_QUANTUM, target_cells // pad)))
-        rows = (rows // ROW_QUANTUM) * ROW_QUANTUM
+        occupancy = -(-len(idx) // ROW_QUANTUM) * ROW_QUANTUM
+        rows = min((rows // ROW_QUANTUM) * ROW_QUANTUM, occupancy)
         out.append((int(pad), rows, idx))
     return out
 

@@ -364,8 +364,11 @@ def _fused_kernel(
                     v_in - shv,
                     jnp.where((v & shv) == 0, v, 0),
                 )
+            # pos field is the full low 14 bits (bits 0..13) regardless of
+            # the block element count — masking with br*LANES-1 corrupts
+            # positions whenever br*LANES is not a power of two.
             comp = (
-                (t * (br * LANES) + (v & (br * LANES - 1))) << 3
+                (t * (br * LANES) + (v & 0x3FFF)) << 3
             ) | (_shrl(v, 14) & 7)
         elif br % 2 == 0 and 17 + _nbits(br * LANES // 2) <= 31:
             # two-half packed move (production br=256): each half's
@@ -398,7 +401,7 @@ def _fused_kernel(
                 (
                     t * (br * LANES)
                     + jnp.where(in2, hbase, 0)
-                    + (v & (hbase - 1))
+                    + (v & 0x3FFF)  # full 14-bit pos field (see above)
                 )
                 << 3
             ) | (_shrl(v, 14) & 7)

@@ -80,6 +80,12 @@ class PipelineSpec:
     # from density).  Raised by the overflow-recovery retry loop (api.py)
     # when a dense region overflows its row's slots.
     slots: Optional[int] = None
+    # Dense survivor rows per block in the fused kernel (None = derived
+    # from density).  Also escalated by the retry loop: a low-complexity
+    # region can overflow the block capacity even with roomy row slots
+    # (the reference's drain buffers simply grow,
+    # src/nthash_avx512_32.rs:139-141 — recovery must too).
+    rows_out: Optional[int] = None
 
     def __post_init__(self):
         if self.mode not in ("regular", "hpc", "simd", "hpcsimd"):
@@ -125,6 +131,20 @@ class PipelineSpec:
         nwin = max(length - self.l + 1, 1)
         est = int(nwin * max(self.density, 0.0) * 4.0) + 128
         return min(max(est, self.k), nwin)
+
+
+def default_rows_out(density: float, block_rows: int = 256) -> int:
+    """Dense per-block survivor capacity (in 128-lane rows) derived from
+    the density: binomial mean + generous tail.  Slot/capacity overflow is
+    detected via counts and recovered by the api retry loop."""
+    blk = block_rows * 128
+    mean = blk * max(density, 0.0)
+    return int(
+        min(
+            -(-(2.0 * mean + 5.0 * (mean ** 0.5) + 192.0) // 128),
+            -(-blk // 128),
+        )
+    )
 
 
 class KminmerBatch(NamedTuple):
@@ -324,13 +344,10 @@ def _fused_pipeline(
     # Dense block capacity: like slots_for_density but per-block
     # (binomial mean + generous tail); slot/capacity overflow is
     # detected via counts and recovered by the api retry loop.
-    blk = block_rows * 128
-    mean = blk * max(spec.density, 0.0)
-    rows_out = int(
-        min(
-            -(-(2.0 * mean + 5.0 * (mean ** 0.5) + 192.0) // 128),
-            -(-blk // 128),
-        )
+    rows_out = (
+        spec.rows_out
+        if spec.rows_out is not None
+        else default_rows_out(spec.density, block_rows)
     )
     # regular/simd: end == start + l - 1, derived after compaction — the
     # whole end column is skipped through both kernels.

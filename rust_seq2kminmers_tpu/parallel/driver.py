@@ -20,8 +20,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.8
     from jax import shard_map
+
+    _SMAP_KW = {"check_vma": False}
 except ImportError:  # pragma: no cover — older jax
     from jax.experimental.shard_map import shard_map
+
+    _SMAP_KW = {"check_rep": False}  # pre-0.8 spelling of the same knob
 
 from ..ops.compact import I32
 from ..ops.pipeline import KminmerBatch, PipelineSpec, kminmer_pipeline
@@ -58,7 +62,7 @@ def make_dp_pipeline(spec: PipelineSpec, mesh: Mesh):
             total=P(),
             lost=P(),
         ),
-        check_vma=False,
+        **_SMAP_KW,
     )
     def step(codes, lengths):
         out = kminmer_pipeline(codes, lengths, spec)

@@ -179,10 +179,19 @@ def run_file_distributed(
                 from ..ops.pallas.fused_scan import slots_for_density
 
                 cur_s = slots_for_density(rspec.density)
+            cur_r = rspec.rows_out
+            if cur_r is None:
+                from ..ops.pipeline import default_rows_out
+
+                cur_r = default_rows_out(rspec.density)
+            # escalate every capacity that can drop survivors (slots,
+            # block-dense rows, compacted M) — the loss psum cannot
+            # distinguish them, and doubling is deterministic across hosts
             rspec = dataclasses.replace(
                 rspec,
                 max_minimizers=min(pad, cur_m * 2),
                 slots=min(128, cur_s * 2),
+                rows_out=min(256, cur_r * 2),
             )
         else:
             raise RuntimeError(

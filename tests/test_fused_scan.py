@@ -132,6 +132,32 @@ def test_fused_scan_large_l_two_row_carry(rng, mode, l):
         assert streams[b] == ref, (mode, l, b)
 
 
+@pytest.mark.parametrize(
+    "L,mode",
+    [
+        (5120, "hpc"),      # br=40  -> 5120 elems: single-payload branch
+        (5120, "hpcsimd"),
+        (20480, "hpcsimd"),  # br=160 -> half 10240: two-half packed branch
+    ],
+)
+def test_fused_scan_non_pow2_block(rng, L, mode):
+    """Non-power-of-two block element counts (e.g. multihost pads to
+    multiples of 1024, io/stream buckets after occupancy clamping) must
+    extract the full 14-bit pos field — a br*LANES-1 mask silently
+    corrupts survivor positions whenever br*LANES is not a power of two."""
+    l, d = 11, 0.05
+    n = L - 17  # length not aligned to anything
+    s = "".join(rng.choice(list("AACCGGTTA"), size=n))
+    codes = np.full((1, L), XCODE_PAD, dtype=np.uint8)
+    codes[0, :n] = encode_xcodes(s, "scalar")
+    lengths = np.array([n], dtype=np.int32)
+    spec = PipelineSpec(l=l, k=2, density=d, mode=mode)
+    # block_rows=256 clamps to ceil(L/128) -> a non-pow2 block element count
+    got = _run_scan(codes, lengths, spec, block_rows=256)[0]
+    ref = minimizers(s, l, d, HashMode(mode))
+    assert got == ref
+
+
 def test_fused_scan_short_and_gated_reads(rng):
     """Reads with len <= l yield nothing (src/lib.rs:97 strict gate)."""
     l = 31
