@@ -1,0 +1,255 @@
+"""Chunked long-read driver: stream ONE sequence of (practically)
+unbounded length through the fused Pallas kernel on a single chip.
+
+The reference scans arbitrarily long sequences with O(1) state — a ring
+buffer of the last l characters plus the rolling hash pair
+(src/nthash_hpc.rs:137-174); its AVX-512 kernel carries the same state
+between 16-lane blocks (src/nthash_avx512_32.rs:404-425).  This driver is
+the chunk-level generalization on TPU: the sequence is cut into fixed
+`chunk`-base pieces, each scanned by ONE fused kernel launch whose carry
+(global kept rank + the last l compacted (pos, code) elements, packed) is
+threaded from launch to launch as device arrays.  Every chunk reuses the
+SAME compiled executable — one compile per (chunk, l, mode) regardless of
+sequence length — and only the ~density-sized compacted minimizer stream
+ever crosses to the host.
+
+This lifts the fused path's per-launch padded-length cap (positions are
+packed into 29 signed bits per chunk, ops/pallas/fused_scan.py) to the
+int32 position range: sequences up to 2^31-1 bases.
+
+K-min-mer assembly runs at the end over the accumulated minimizer stream,
+tiled into overlapping rows (overlap k-1) so one compiled assembly kernel
+covers any stream length.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import XCODE_PAD, encode_xcodes, family_of_mode
+from .compact import I32
+from .pipeline import PipelineSpec, _phase2_compact, default_rows_out
+
+U32 = jnp.uint32
+DEFAULT_CHUNK = 1 << 25  # 32 Mb per launch: ~1k blocks, well under the cap
+
+
+def _chunk_step(spec: PipelineSpec, chunk: int, nslots: int, rows_out: int,
+                m_cap: int, interpret: bool, block_rows: int = 256):
+    """One jitted launch: fused scan (with carry in/out) + phase-2 global
+    compaction of the chunk's survivors."""
+    from .pallas.fused_scan import fused_minimizer_scan
+
+    l = spec.l
+    emit_end = spec.is_hpc
+
+    @jax.jit
+    def step(codes, length_local, limit, base0, pend0):
+        st, en, hs, counts, pend_out = fused_minimizer_scan(
+            codes,
+            length_local,
+            limit,
+            l,
+            int(spec.bound),
+            spec.strict_threshold,
+            spec.is_hpc,
+            spec.mode == "hpc",
+            emit_end=emit_end,
+            nslots=nslots,
+            block_rows=block_rows,
+            interpret=interpret,
+            variant=spec.variant,
+            rows_out=rows_out,
+            base0=base0,
+            pend0=pend0,
+            emit_carry=True,
+        )
+        mst, men, mhs, n_min, n_raw = _phase2_compact(
+            st, en, hs, counts, m_cap, emit_end, l, interpret
+        )
+        base_next = base0 + counts[:, :, 2].sum(axis=1)
+        # Rebase the carried pending positions to the NEXT chunk's origin:
+        # the packed layout is (pos << 3) | code, so a position shift is a
+        # plain subtraction on the packed values.
+        pend_next = pend_out - jnp.int32(chunk << 3)
+        return mst, men, mhs, n_min, n_raw, base_next, pend_next
+
+    return step
+
+
+def minimizer_stream_long(
+    codes: np.ndarray,  # uint8[n] xcodes of ONE sequence
+    spec: PipelineSpec,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: Optional[bool] = None,
+    max_retries: int = 4,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (start, end, hash) numpy arrays of the full ordered minimizer
+    stream of one long sequence (positions in original space, global)."""
+    n = int(codes.shape[0])
+    l = spec.l
+    if spec.hash_width != 32:
+        raise ValueError("long-read streaming is 32-bit-lane only")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if n <= l:
+        e = np.zeros(0, dtype=np.int64)
+        return e, e.copy(), np.zeros(0, dtype=np.uint32)
+    chunk = max(int(chunk), 8 * 128)
+    chunk = -(-chunk // (8 * 128)) * (8 * 128)
+    block_rows = min(256, chunk // 128)
+    if spec.is_hpc:
+        limit_g = 1 << 30
+    else:
+        limit_g = n - l
+    nchunks = -(-n // chunk)
+    m_cap = spec.capacity_for(chunk)
+    nslots = _nslots(spec)
+    rows_out = (
+        spec.rows_out if spec.rows_out is not None
+        else default_rows_out(spec.density, block_rows)
+    )
+
+    base = jnp.zeros((1,), dtype=I32)
+    pend = jnp.zeros((1, 8, 128), dtype=I32)
+    limit = jnp.full((1,), limit_g, dtype=I32)
+    starts, ends, hashes = [], [], []
+    step = _chunk_step(
+        spec, chunk, nslots, rows_out, m_cap, interpret, block_rows
+    )
+    for ci in range(nchunks):
+        part = codes[ci * chunk : (ci + 1) * chunk]
+        if part.shape[0] < chunk:
+            buf = np.full((1, chunk), XCODE_PAD, dtype=np.uint8)
+            buf[0, : part.shape[0]] = part
+        else:
+            buf = part[None, :]
+        length_local = jnp.full(
+            (1,), min(chunk, n - ci * chunk), dtype=I32
+        )
+        for attempt in range(max_retries + 1):
+            mst, men, mhs, n_min, n_raw, base_n, pend_n = step(
+                jnp.asarray(buf), length_local, limit, base, pend
+            )
+            nm, nr = int(n_min[0]), int(n_raw[0])
+            if nm >= nr:
+                break
+            if attempt == max_retries:
+                raise RuntimeError(
+                    f"minimizer overflow in chunk {ci} not resolved "
+                    f"({nm} < {nr})"
+                )
+            # Escalate every capacity the loss could implicate (the counts
+            # cannot localize it) and recompile the step once.
+            nslots = min(128, nslots * 2)
+            rows_out = min(256, rows_out * 2)
+            if nr > m_cap:
+                while m_cap < nr:
+                    m_cap *= 2
+            step = _chunk_step(
+                spec, chunk, nslots, rows_out, m_cap, interpret, block_rows
+            )
+        base, pend = base_n, pend_n
+        off = ci * chunk
+        starts.append(np.asarray(mst[0, :nm], dtype=np.int64) + off)
+        ends.append(np.asarray(men[0, :nm], dtype=np.int64) + off)
+        hashes.append(np.asarray(mhs[0, :nm]).view(np.uint32))
+    return (
+        np.concatenate(starts) if starts else np.zeros(0, np.int64),
+        np.concatenate(ends) if ends else np.zeros(0, np.int64),
+        np.concatenate(hashes) if hashes else np.zeros(0, np.uint32),
+    )
+
+
+def _nslots(spec: PipelineSpec) -> int:
+    from .pallas.fused_scan import slots_for_density
+
+    return (
+        min(128, -(-spec.slots // 8) * 8)
+        if spec.slots is not None
+        else slots_for_density(spec.density)
+    )
+
+
+def assemble_stream(
+    min_hash: np.ndarray,  # uint32[M] minimizer hashes, in order
+    k: int,
+    interpret: Optional[bool] = None,
+    tile: int = 8192,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """K-min-mer assembly over an arbitrarily long minimizer stream:
+    -> (hash uint64[M-k+1], rev bool[M-k+1]).
+
+    The stream is tiled into [R, tile] rows overlapping by k-1 elements so
+    the fixed-shape Pallas assembly kernel (ops/pallas/assemble_kernel.py)
+    serves any M with one compile; row r's first tile-k+1 windows are the
+    stream's windows r*(tile-k+1).."""
+    from .pallas.assemble_kernel import assemble_kminmers_pallas
+
+    M = int(min_hash.shape[0])
+    nwin = M - k + 1
+    if nwin <= 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    stride = tile - (k - 1)
+    R = -(-nwin // stride)
+    rows = np.zeros((R, tile), dtype=np.uint32)
+    for r in range(R):
+        seg = min_hash[r * stride : r * stride + tile]
+        rows[r, : seg.shape[0]] = seg
+    (hi, lo), rev = assemble_kminmers_pallas(
+        jnp.asarray(rows), k, interpret=interpret
+    )
+    hi = np.asarray(hi)[:, :stride].reshape(-1)[:nwin]
+    lo = np.asarray(lo)[:, :stride].reshape(-1)[:nwin]
+    rev = np.asarray(rev)[:, :stride].reshape(-1)[:nwin]
+    return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(
+        np.uint64
+    ), rev
+
+
+def kminmers_long(
+    seq,
+    l: int,
+    k: int,
+    density: float,
+    mode: str = "regular",
+    variant: str = "nthash1",
+    chunk: int = DEFAULT_CHUNK,
+    interpret: Optional[bool] = None,
+) -> dict:
+    """All k-min-mers of ONE long sequence as a struct-of-arrays dict
+    {hash uint64, start, end, offset int64, rev bool}[n_kminmers] —
+    the chunked single-chip equivalent of KminmersIterator for sequences
+    beyond one launch's padded-length cap (reference semantics per mode as
+    in ops/pipeline.py; src/lib.rs:89-131)."""
+    spec = PipelineSpec(l=l, k=k, density=density, mode=mode, variant=variant)
+    if isinstance(seq, np.ndarray) and np.issubdtype(seq.dtype, np.integer):
+        codes = seq.astype(np.uint8, copy=False)
+    else:
+        codes = encode_xcodes(seq, family_of_mode(mode))
+    start, end, mhash = minimizer_stream_long(
+        codes, spec, chunk=chunk, interpret=interpret
+    )
+    nk = max(int(mhash.shape[0]) - (k - 1), 0)
+    if nk == 0:
+        return {
+            "hash": np.zeros(0, np.uint64),
+            "start": np.zeros(0, np.int64),
+            "end": np.zeros(0, np.int64),
+            "offset": np.zeros(0, np.int64),
+            "rev": np.zeros(0, bool),
+        }
+    kh, rev = assemble_stream(mhash, k, interpret=interpret)
+    return {
+        "hash": kh,
+        "start": start[:nk],
+        "end": end[k - 1 :],
+        "offset": np.arange(nk, dtype=np.int64),
+        "rev": rev,
+    }

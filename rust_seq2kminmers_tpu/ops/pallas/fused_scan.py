@@ -35,7 +35,7 @@ compares), as TPU vector lanes are 32-bit.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -290,33 +290,46 @@ def _lane_compact_slots(mask_i32, cols):
 def _fused_kernel(
     limit_ref,  # scalar prefetch: int32[B] window-start limit (rank space)
     length_ref,  # scalar prefetch: int32[B] raw read length
+    base0_ref,  # scalar prefetch: int32[B] initial global kept rank (carry)
     codes_ref,  # (1, br, 128) uint8 main block
-    *io_refs,  # start_out, [end_out,] hash_out, cnt_out, then scratch
+    pend0_ref,  # (1, 8, 128) int32 initial pending prefix (carry-in)
+    *io_refs,  # start_out, [end_out,] hash_out, cnt_out, [pend_out,] scratch
     l: int,
     bound: int,
     strict: bool,
     do_hpc: bool,
     hpc_end: bool,
     emit_end: bool,
+    emit_carry: bool,
     br: int,
+    nt: int,
     nslots: int,
     rows_out: int,  # dense 128-lane survivor rows emitted per block
     width: int,  # hash lane width: 32 (NtHash1) or 31 (NtHash2-31)
     seed_f: np.ndarray,
     seed_r: np.ndarray,
 ):
-    if emit_end:
-        start_out, end_out, hash_out, cnt_out, pend_ref, ext_ref, sm_ref = io_refs
-    else:
-        start_out, hash_out, cnt_out, pend_ref, ext_ref, sm_ref = io_refs
-        end_out = None
+    io_refs = list(io_refs)
+    start_out = io_refs.pop(0)
+    end_out = io_refs.pop(0) if emit_end else None
+    hash_out = io_refs.pop(0)
+    cnt_out = io_refs.pop(0)
+    pend_out = io_refs.pop(0) if emit_carry else None
+    pend_ref, ext_ref, sm_ref = io_refs
     b = pl.program_id(0)
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
-        sm_ref[0] = 0  # base rank (global kept count so far)
-        pend_ref[0, :] = jnp.zeros((LANES,), dtype=I32)
+        # Carry-in: the global kept rank + the pending prefix holding the
+        # last l compacted (pos, code) elements of the stream BEFORE this
+        # invocation's chunk (zeros for a whole-sequence scan).  This is
+        # what makes the scan resumable across chunks of one long read
+        # (single-chip streaming) and across 'seq' mesh shards (SPMD) —
+        # the cross-chunk generalization of the reference's AVX-512 block
+        # hand-off (src/nthash_avx512_32.rs:404-425).
+        sm_ref[0] = base0_ref[b]
+        pend_ref[0:8, :] = pend0_ref[0]
 
     base = sm_ref[0]
     length = length_ref[b]
@@ -447,7 +460,10 @@ def _fused_kernel(
         rh = _rol31_lane(wr, rot_f)
     h = _umin(fh, rh)
 
-    pos = _shrl(ext, 3)
+    # Arithmetic shift: carried-in pending elements from a PREVIOUS chunk
+    # keep chunk-relative (negative) positions; in-chunk packing is always
+    # non-negative, so this is a no-op for whole-sequence scans.
+    pos = ext >> 3
     if emit_end:
         # hpc: end = pos[f+l] - 1; hpcsimd: end = pos[f+l-1].  For the
         # regular/simd modes end == start + l - 1 is derived by the caller
@@ -533,7 +549,8 @@ def _fused_kernel(
         [
             jnp.full((1, LANES), kept_total, dtype=I32),
             jnp.full((1, LANES), raw_total, dtype=I32),
-            jnp.zeros((6, LANES), dtype=I32),
+            jnp.full((1, LANES), cnt, dtype=I32),  # kept STREAM elements
+            jnp.zeros((5, LANES), dtype=I32),
         ],
         axis=0,
     )
@@ -566,6 +583,14 @@ def _fused_kernel(
 
     sm_ref[0] = base + cnt
 
+    if emit_carry:
+        # Carry-out after the final block: the pending prefix for the NEXT
+        # chunk of this read.  Positions are chunk-local; the caller
+        # rebases by subtracting (chunk_len << 3) from the packed values.
+        @pl.when(t == nt - 1)
+        def _():
+            pend_out[0] = pend_ref[0:8, :]
+
 
 def _nbits(n: int) -> int:
     return int(n - 1).bit_length()
@@ -580,6 +605,7 @@ def _nbits(n: int) -> int:
         "do_hpc",
         "hpc_end",
         "emit_end",
+        "emit_carry",
         "nslots",
         "block_rows",
         "interpret",
@@ -602,15 +628,21 @@ def fused_minimizer_scan(
     interpret: bool = False,
     variant: str = "nthash1",
     rows_out: int = 0,  # dense survivor rows per block (0 = lossless max)
+    base0: Optional[jnp.ndarray] = None,  # int32[B] carry-in kept rank
+    pend0: Optional[jnp.ndarray] = None,  # int32[B, 8, 128] carry-in prefix
+    emit_carry: bool = False,  # also return the carry-out pending prefix
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused pass -> block-dense survivor rows.
 
     Returns (start int32[B, nt*rows_out, 128], end (None when
     emit_end=False — ends are then start + l - 1), hash ... (u32 bit
-    patterns), counts int32[B, nt, 2]).  Block t's survivors are the first
-    counts[b, t, 0] elements of its rows_out dense rows, in sequence
-    order; counts[b, t, 1] is the RAW selected count (> kept implies
-    per-row slot or block-capacity overflow — never silent).
+    patterns), counts int32[B, nt, 3], [pend_out int32[B, 8, 128] when
+    emit_carry]).  Block t's survivors are the first counts[b, t, 0]
+    elements of its rows_out dense rows, in sequence order;
+    counts[b, t, 1] is the RAW selected count (> kept implies per-row slot
+    or block-capacity overflow — never silent); counts[b, t, 2] is the
+    block's kept STREAM element count (== block size for non-HPC modes),
+    whose sum is the carry-out base rank for a following chunk.
 
     rows_out bounds the dense survivor capacity per block (rows_out*128
     elements); callers size it from the density like the per-row slots
@@ -620,6 +652,15 @@ def fused_minimizer_scan(
     scheme (reference src/nthash2_avx512_32.rs, for l > 31 where 32-bit
     NtHash1 degenerates).  l may go up to 255 (matching the reference
     scalar HPC ring buffer, src/nthash_hpc.rs:9-11).
+
+    base0/pend0 resume the scan mid-read: base0[b] is the global kept rank
+    before this chunk and pend0[b] the packed ((pos << 3) | code) pending
+    prefix holding the last min(base0, l) stream elements right-aligned in
+    its 8x128 flat layout, with positions RELATIVE to this chunk's origin
+    (negative for carried elements).  Both default to zeros (fresh read).
+    Emission masks are global-rank-aware, so each chunk emits exactly the
+    windows whose final (or one-past-final, hpc mode) element lies inside
+    it — no window is emitted twice across chunks.
     """
     if not (2 <= l <= 255):
         raise ValueError(f"l={l} must be in [2, 255] for the fused kernel")
@@ -655,6 +696,13 @@ def fused_minimizer_scan(
     cnt_spec = pl.BlockSpec(
         (1, 8, LANES), lambda b, t, *_: (b, t, 0), memory_space=pltpu.VMEM
     )
+    pend_spec = pl.BlockSpec(
+        (1, 8, LANES), lambda b, t, *_: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    if base0 is None:
+        base0 = jnp.zeros((B,), dtype=I32)
+    if pend0 is None:
+        pend0 = jnp.zeros((B, 8, LANES), dtype=I32)
 
     if variant == "nthash2":
         from ...constants import seed_tables_nthash2_31
@@ -672,7 +720,9 @@ def fused_minimizer_scan(
         do_hpc=do_hpc,
         hpc_end=hpc_end,
         emit_end=emit_end,
+        emit_carry=emit_carry,
         br=br,
+        nt=nt,
         nslots=nslots,
         rows_out=rows_out,
         width=width,
@@ -680,11 +730,18 @@ def fused_minimizer_scan(
         seed_r=seed_r,
     )
     n_slot_arrays = 3 if emit_end else 2
+    out_specs = [slot_spec] * n_slot_arrays + [cnt_spec]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, nt * rows_out, LANES), I32)
+    ] * n_slot_arrays + [jax.ShapeDtypeStruct((B, nt * 8, LANES), I32)]
+    if emit_carry:
+        out_specs.append(pend_spec)
+        out_shapes.append(jax.ShapeDtypeStruct((B, 8, LANES), I32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, nt),
-        in_specs=[main_spec],
-        out_specs=[slot_spec] * n_slot_arrays + [cnt_spec],
+        in_specs=[main_spec, pend_spec],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((8, LANES), I32),
             pltpu.VMEM((br + 16, LANES), I32),
@@ -694,15 +751,22 @@ def fused_minimizer_scan(
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, nt * rows_out, LANES), I32)]
-        * n_slot_arrays
-        + [jax.ShapeDtypeStruct((B, nt * 8, LANES), I32)],
+        out_shape=out_shapes,
         interpret=interpret,
-    )(limit.astype(I32), lengths.astype(I32), codes.reshape(B, rows, LANES))
-    if emit_end:
-        start, end, hsh, cnts = outs
-    else:
-        start, hsh, cnts = outs
-        end = None
-    counts = cnts.reshape(B, nt, 8, LANES)[:, :, :2, 0]  # [B, nt, (kept, raw)]
+    )(
+        limit.astype(I32),
+        lengths.astype(I32),
+        base0.astype(I32),
+        codes.reshape(B, rows, LANES),
+        pend0,
+    )
+    outs = list(outs)
+    start = outs.pop(0)
+    end = outs.pop(0) if emit_end else None
+    hsh = outs.pop(0)
+    cnts = outs.pop(0)
+    # [B, nt, (kept survivors, raw selected, kept stream)]
+    counts = cnts.reshape(B, nt, 8, LANES)[:, :, :3, 0]
+    if emit_carry:
+        return start, end, hsh, counts, outs.pop(0)
     return start, end, hsh, counts

@@ -302,6 +302,47 @@ def kminmer_pipeline(
     )
 
 
+def _phase2_compact(st, en, hs, counts, m_cap, emit_end, l, interpret):
+    """Global ordered compaction of the fused kernel's block-dense survivor
+    rows into a [B, m_cap] minimizer stream.  n_raw counts every selected
+    minimizer (exact even on overflow; n_raw > n_min implies loss — slot /
+    block capacity or m_cap).  Shared by the batch pipeline and the chunked
+    long-read driver (ops/long_read.py)."""
+    B, SB, _ = st.shape
+    NT = counts.shape[1]
+    RO = SB // NT
+    kept = jnp.minimum(counts[:, :, 0], RO * 128)
+    n_raw = counts[:, :, 1].sum(axis=1)
+    slot_valid = (
+        jnp.arange(RO * 128, dtype=I32)[None, None, :]
+        < kept[:, :, None]
+    )
+    sv = slot_valid.reshape(B, SB * 128)
+    slot_cols = [st.reshape(B, SB * 128), hs.reshape(B, SB * 128)]
+    if emit_end:
+        slot_cols.insert(1, en.reshape(B, SB * 128))
+    # Dense one-block compaction requires the whole slot row (+ working
+    # copies) to fit scoped VMEM (~16 MB): gate on total live estimate.
+    if SB * 128 * (len(slot_cols) + 1) * 4 * 5 <= 12 * (1 << 20):
+        from .pallas.slot_compact import slot_compact
+
+        packed, n_slotted = slot_compact(
+            sv, slot_cols, m_cap, interpret=interpret
+        )
+        packed = [p[:, :m_cap] for p in packed]
+    else:
+        packed, n_slotted = compact(
+            sv, slot_cols, m_cap, [I32(0)] * len(slot_cols), method="pallas"
+        )
+    if emit_end:
+        min_start, min_end, min_hash_i = packed
+    else:
+        min_start, min_hash_i = packed
+        min_end = min_start + (l - 1)
+    n_min = jnp.minimum(n_slotted, m_cap)
+    return min_start, min_end, min_hash_i, n_min, n_raw
+
+
 def _fused_pipeline(
     codes: jnp.ndarray, lengths: jnp.ndarray, spec: PipelineSpec
 ) -> KminmerBatch:
@@ -368,41 +409,9 @@ def _fused_pipeline(
         variant=spec.variant,
         rows_out=rows_out,
     )
-    # Phase 2: global ordered compaction of the block-dense survivor rows.
-    # n_raw counts every selected minimizer (exact even on overflow;
-    # n_raw > n_minimizers implies loss — slot/block capacity or m_cap).
-    _, SB, _ = st.shape
-    NT = counts.shape[1]
-    RO = SB // NT
-    kept = jnp.minimum(counts[:, :, 0], RO * 128)
-    n_raw = counts[:, :, 1].sum(axis=1)
-    slot_valid = (
-        jnp.arange(RO * 128, dtype=I32)[None, None, :]
-        < kept[:, :, None]
+    min_start, min_end, min_hash_i, n_min, n_raw = _phase2_compact(
+        st, en, hs, counts, m_cap, emit_end, l, interpret
     )
-    sv = slot_valid.reshape(B, SB * 128)
-    slot_cols = [st.reshape(B, SB * 128), hs.reshape(B, SB * 128)]
-    if emit_end:
-        slot_cols.insert(1, en.reshape(B, SB * 128))
-    # Dense one-block compaction requires the whole slot row (+ working
-    # copies) to fit scoped VMEM (~16 MB): gate on total live estimate.
-    if SB * 128 * (len(slot_cols) + 1) * 4 * 5 <= 12 * (1 << 20):
-        from .pallas.slot_compact import slot_compact
-
-        packed, n_slotted = slot_compact(
-            sv, slot_cols, m_cap, interpret=interpret
-        )
-        packed = [p[:, :m_cap] for p in packed]
-    else:
-        packed, n_slotted = compact(
-            sv, slot_cols, m_cap, [I32(0)] * len(slot_cols), method="pallas"
-        )
-    if emit_end:
-        min_start, min_end, min_hash_i = packed
-    else:
-        min_start, min_hash_i = packed
-        min_end = min_start + (l - 1)
-    n_min = jnp.minimum(n_slotted, m_cap)
     valid = jnp.arange(m_cap, dtype=I32)[None, :] < n_min[:, None]
     min_start = jnp.where(valid, min_start, 0)
     min_end = jnp.where(valid, min_end, 0)

@@ -1,0 +1,125 @@
+"""Real-chip validation of the chunked long-read driver at >= 300 Mbp.
+
+Runs ONE synthetic 300 Mbp read through ops/long_read.py on the TPU
+(lifting the single-launch padded-length cap via the kernel carry), and
+validates three ways:
+  1. chunk-size invariance of the full minimizer stream (16M vs 32M chunks
+     exercise different chunk-boundary placements over the same read);
+  2. bit-exact oracle equality on a multi-chunk 4 Mbp slice (prefix, so
+     stream prefixes coincide);
+  3. throughput of the steady-state chunk loop (GB/s).
+
+Writes LONGREAD_r03.json at the repo root.
+
+Usage: python scripts/long_read_300m.py [n_mbp]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from rust_seq2kminmers_tpu.constants import encode_xcodes  # noqa: E402
+from rust_seq2kminmers_tpu.ops.long_read import (  # noqa: E402
+    minimizer_stream_long,
+)
+from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec  # noqa: E402
+
+
+def synth_read(n: int, seed: int = 42) -> np.ndarray:
+    """Synthetic genome-ish bytes: random ACGT with interspersed short
+    homopolymer runs (so HPC modes do real work)."""
+    rng = np.random.default_rng(seed)
+    b = rng.integers(0, 4, size=n).astype(np.uint8)
+    # plant runs: ~2% of positions start a run of 2-12 copies
+    starts = rng.random(n) < 0.02
+    run_len = rng.integers(2, 13, size=n)
+    idx = np.flatnonzero(starts)
+    for i in idx[:200000]:
+        b[i : i + run_len[i]] = b[i]
+    return np.frombuffer(b"ACGT", dtype=np.uint8)[b]
+
+
+def main():
+    n_mbp = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    n = n_mbp * 1_000_000
+    mode, l, k, d = "hpcsimd", 31, 5, 0.01
+    spec = PipelineSpec(l=l, k=k, density=d, mode=mode)
+    print(f"generating {n_mbp} Mbp synthetic read ...", flush=True)
+    raw = synth_read(n)
+    t0 = time.perf_counter()
+    codes = encode_xcodes(raw, "simd")
+    t_enc = time.perf_counter() - t0
+    print(f"host encode: {n / t_enc / 1e9:.2f} GB/s", flush=True)
+
+    results = {}
+    streams = {}
+    for chunk in (1 << 25, 1 << 24):
+        t0 = time.perf_counter()
+        st, en, hs = minimizer_stream_long(codes, spec, chunk=chunk)
+        dt = time.perf_counter() - t0
+        # warm second pass for steady-state throughput (compile excluded)
+        t0 = time.perf_counter()
+        st, en, hs = minimizer_stream_long(codes, spec, chunk=chunk)
+        dt_warm = time.perf_counter() - t0
+        streams[chunk] = (st, en, hs)
+        results[f"chunk_{chunk >> 20}M"] = {
+            "n_minimizers": int(len(st)),
+            "cold_s": round(dt, 3),
+            "warm_s": round(dt_warm, 3),
+            "warm_gb_s": round(n / dt_warm / 1e9, 3),
+        }
+        print(f"chunk={chunk >> 20}M: {len(st)} minimizers, "
+              f"warm {n / dt_warm / 1e9:.2f} GB/s", flush=True)
+
+    a, b = streams.values()
+    inv = (
+        len(a[0]) == len(b[0])
+        and np.array_equal(a[0], b[0])
+        and np.array_equal(a[1], b[1])
+        and np.array_equal(a[2], b[2])
+    )
+    print(f"chunk-size invariance: {'OK' if inv else 'MISMATCH'}")
+
+    # multi-chunk oracle slice: the first 4 Mbp as an independent read —
+    # its minimizer stream must be a prefix of the long read's (windows
+    # near the slice end may differ/end early; compare strictly inside).
+    from rust_seq2kminmers_tpu.oracle import HashMode, minimizers
+
+    n_sl = 4_000_000
+    sl = raw[:n_sl].tobytes().decode("latin-1")
+    t0 = time.perf_counter()
+    ref = minimizers(sl, l, d, HashMode(mode))
+    print(f"oracle 4 Mbp: {time.perf_counter() - t0:.1f}s", flush=True)
+    safe = [r for r in ref if r[1] < n_sl - 64]
+    st, en, hs = a
+    got = list(zip(st[: len(safe)].tolist(), en[: len(safe)].tolist(),
+                   [int(x) for x in hs[: len(safe)]]))
+    oracle_ok = got == safe
+    print(f"oracle 4 Mbp prefix: {'OK' if oracle_ok else 'MISMATCH'} "
+          f"({len(safe)} records)")
+
+    out = {
+        "read_mbp": n_mbp,
+        "mode": mode,
+        "l": l,
+        "k": k,
+        "density": d,
+        "host_encode_gb_s": round(n / t_enc / 1e9, 3),
+        "chunk_invariance": bool(inv),
+        "oracle_4mbp_prefix": bool(oracle_ok),
+        **results,
+    }
+    path = Path(__file__).resolve().parents[1] / "LONGREAD_r03.json"
+    path.write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps(out))
+    if not (inv and oracle_ok):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

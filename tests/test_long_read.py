@@ -1,0 +1,119 @@
+"""Chunked long-read driver (ops/long_read.py): the fused kernel's carry
+(base rank + pending prefix) threaded across chunk launches must reproduce
+the oracle bit-for-bit — including chunks that keep ZERO stream elements
+(mega-homopolymer runs spanning whole chunks) and windows straddling chunk
+boundaries in every mode.
+
+Reference behavior being generalized: the scalar iterator's O(1) rolling
+state over unbounded sequences (src/nthash_hpc.rs:137-174) and the AVX-512
+block hand-off (src/nthash_avx512_32.rs:404-425).
+"""
+
+import numpy as np
+import pytest
+
+from rust_seq2kminmers_tpu.oracle import HashMode
+from rust_seq2kminmers_tpu.oracle import kminmers as oracle_kminmers
+from rust_seq2kminmers_tpu.ops.long_read import (
+    assemble_stream,
+    kminmers_long,
+    minimizer_stream_long,
+)
+from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec
+
+
+def _check(seq, l, k, d, mode, chunk, variant="nthash1"):
+    got = kminmers_long(
+        seq, l=l, k=k, density=d, mode=mode, variant=variant,
+        chunk=chunk, interpret=True,
+    )
+    ref = oracle_kminmers(seq, l, k, d, HashMode(mode), 32, variant)
+    assert len(got["hash"]) == len(ref), (mode, len(got["hash"]), len(ref))
+    for i, r in enumerate(ref):
+        assert int(got["hash"][i]) == r.hash, (mode, i)
+        assert int(got["start"][i]) == r.start, (mode, i)
+        assert int(got["end"][i]) == r.end, (mode, i)
+        assert int(got["offset"][i]) == r.offset
+        assert bool(got["rev"][i]) == r.rev, (mode, i)
+
+
+@pytest.mark.parametrize("mode", ["regular", "simd", "hpc", "hpcsimd"])
+def test_long_read_multichunk_matches_oracle(rng, mode):
+    n = 9000
+    seq = "".join(rng.choice(list("AACCGGTTAAAANN"), size=n))
+    _check(seq, l=11, k=3, d=0.05, mode=mode, chunk=2048)
+
+
+@pytest.mark.parametrize("mode", ["hpc", "hpcsimd"])
+def test_long_read_runs_spanning_whole_chunks(rng, mode):
+    # multi-chunk homopolymer runs: chunks inside a run keep 0 elements,
+    # so the pending prefix must thread THROUGH chunks unchanged.
+    parts = []
+    for _ in range(14):
+        parts.append(
+            "".join(rng.choice(list("ACGT"), size=int(rng.integers(30, 200))))
+        )
+        parts.append(
+            str(rng.choice(list("ACGT"))) * int(rng.integers(800, 3000))
+        )
+    seq = "".join(parts)
+    _check(seq, l=13, k=3, d=0.15, mode=mode, chunk=1024)
+    _check(seq, l=31, k=2, d=0.3, mode=mode, chunk=1024)
+
+
+def test_long_read_nthash2_variant(rng):
+    seq = "".join(rng.choice(list("ACGT"), size=6000))
+    _check(seq, l=45, k=2, d=0.05, mode="regular", chunk=2048,
+           variant="nthash2")
+    _check(seq, l=45, k=2, d=0.1, mode="hpc", chunk=2048, variant="nthash2")
+
+
+def test_long_read_short_sequence_and_single_chunk(rng):
+    seq = "".join(rng.choice(list("ACGT"), size=700))
+    # single chunk (chunk > n) must equal the batch pipeline semantics
+    _check(seq, l=9, k=2, d=0.2, mode="hpcsimd", chunk=1024)
+    # n <= l -> empty
+    got = kminmers_long("ACGTACG", l=10, k=2, density=0.5, mode="regular",
+                        interpret=True)
+    assert len(got["hash"]) == 0
+
+
+def test_assemble_stream_tiling_matches_unsplit(rng):
+    # the overlap-tiled assembly must be invariant to the tile size
+    from rust_seq2kminmers_tpu.ops.assemble import assemble_kminmers
+    import jax.numpy as jnp
+
+    m = rng.integers(0, 2**32, size=1337, dtype=np.uint64).astype(np.uint32)
+    k = 5
+    (hi, lo), rev = assemble_kminmers(jnp.asarray(m[None, :]), k)
+    want = (
+        np.asarray(hi[0]).astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(lo[0]).astype(np.uint64)
+    got_h, got_rev = assemble_stream(m, k, interpret=True, tile=256)
+    np.testing.assert_array_equal(got_h, want)
+    np.testing.assert_array_equal(got_rev, np.asarray(rev[0]))
+
+
+def test_minimizer_stream_long_overflow_recovery(rng):
+    # a dense low-complexity region must escalate capacities, not lose
+    # minimizers: every window of a repeat hashes identically, so a tiny
+    # rows_out would overflow without recovery.
+    seq = "ACGT" * 1500  # highly repetitive, d=0.9 selects nearly all
+    spec = PipelineSpec(l=5, k=2, density=0.9, mode="regular",
+                        rows_out=8, slots=8)
+    st, en, hs = minimizer_stream_long(
+        np.asarray(
+            __import__(
+                "rust_seq2kminmers_tpu.constants", fromlist=["encode_xcodes"]
+            ).encode_xcodes(seq, "scalar")
+        ),
+        spec,
+        chunk=1024,
+        interpret=True,
+    )
+    from rust_seq2kminmers_tpu.oracle import minimizers
+
+    ref = minimizers(seq, 5, 0.9, HashMode.Regular)
+    assert len(st) == len(ref)
+    for i, (s_, e_, h_) in enumerate(ref):
+        assert (int(st[i]), int(en[i]), int(hs[i])) == (s_, e_, h_)
