@@ -61,20 +61,55 @@ def _round_cap(n: int) -> int:
     return c
 
 
-def kminmers_batch(codes, lengths, spec, max_retries: int = 8):
-    """Run the batched pipeline with overflow recovery: if any read's
-    selected minimizers overflowed the per-row survivor slots or the
-    compacted capacity M, re-run with doubled slots / the exact required
-    capacity until nothing is dropped (the reference never drops a
-    minimizer — its drain buffers grow per survivor,
-    src/nthash_avx512_32.rs:139-141).
+def rescue_spec(spec: PipelineSpec, m_cap_needed: int = 0) -> PipelineSpec:
+    """The ONE escalated configuration overflow recovery jumps to: per-row
+    slots = 128 and rows_out = 0 are LOSSLESS in the fused kernel (every
+    element of a row can survive; 0 selects the kernel's lossless
+    block-dense maximum), so a single rescue run can never lose survivors
+    below the compacted capacity M.  Because the rescue shape does not
+    depend on which batch overflowed, its executable is compiled once and
+    reused by every later recovery (the reference's analogue: drain
+    buffers that simply grow, src/nthash_avx512_32.rs:139-141).
 
-    Returns a KminmerBatch whose n_minimizers == n_minimizers_raw row-wise.
-    Capacities are rounded to powers of two so the retry loop compiles at
-    most a handful of distinct shapes across a file.
+    M itself is raised (power-of-two rounded) only when the raw count
+    demands it — the sole remaining recompile case.
     """
     import dataclasses as _dc
 
+    changes = {"slots": 128, "rows_out": 0}
+    if m_cap_needed and (
+        spec.max_minimizers is None or spec.max_minimizers < m_cap_needed
+    ):
+        changes["max_minimizers"] = _round_cap(m_cap_needed)
+    return _dc.replace(spec, **changes)
+
+
+def precompile_rescue(spec: PipelineSpec, batch_shape) -> None:
+    """Eagerly compile the rescue executable for a given (B, L) so a later
+    overflow recovery re-runs a warm program instead of paying a compile
+    mid-stream (VERDICT r2 #8).  Cheap to call repeatedly: both the
+    pipeline object and its jit executable are cached."""
+    import jax
+    import jax.numpy as jnp
+
+    B, L = batch_shape
+    fn = _cached_pipeline(rescue_spec(spec))
+    codes = jnp.zeros((B, L), dtype=jnp.uint8)
+    lengths = jnp.zeros((B,), dtype=jnp.int32)
+    jax.block_until_ready(fn(codes, lengths))
+
+
+def kminmers_batch(codes, lengths, spec, max_retries: int = 8):
+    """Run the batched pipeline with overflow recovery: if any read's
+    selected minimizers overflowed the per-row survivor slots or the
+    block-dense capacity, ONE retry on the lossless rescue configuration
+    (see rescue_spec) recovers them with a single, reusable executable;
+    only a compacted-capacity (M) overflow forces a new shape, with M
+    rounded to powers of two to bound distinct compilations.  The
+    reference never drops a minimizer (src/nthash_avx512_32.rs:139-141).
+
+    Returns a KminmerBatch whose n_minimizers == n_minimizers_raw row-wise.
+    """
     import jax.numpy as jnp
 
     codes = jnp.asarray(codes)
@@ -85,36 +120,7 @@ def kminmers_batch(codes, lengths, spec, max_retries: int = 8):
         n_min = np.asarray(out.n_minimizers)
         if (n_min >= n_raw).all():
             return out
-        changes = {}
-        m_cap = spec.capacity_for(codes.shape[1])
-        worst = int(n_raw.max())
-        if worst > m_cap:
-            changes["max_minimizers"] = _round_cap(worst)
-        # Rows that lost elements before the M clip overflowed either the
-        # per-row survivor slots or the block-dense capacity; escalate BOTH
-        # (the loss counts cannot distinguish them, and a low-complexity
-        # repeat region can saturate the block capacity with roomy slots).
-        if (n_min < np.minimum(n_raw, m_cap)).any():
-            from .ops.pallas.fused_scan import slots_for_density
-            from .ops.pipeline import default_rows_out
-
-            cur = (
-                spec.slots
-                if spec.slots is not None
-                else slots_for_density(spec.density)
-            )
-            if cur < 128:
-                changes["slots"] = min(128, cur * 2)
-            cur_rows = (
-                spec.rows_out
-                if spec.rows_out is not None
-                else default_rows_out(spec.density)
-            )
-            if cur_rows < 256:  # fused kernel clamps to its lossless max
-                changes["rows_out"] = cur_rows * 2
-        if not changes:  # pragma: no cover — defensive
-            return out
-        spec = _dc.replace(spec, **changes)
+        spec = rescue_spec(spec, int(n_raw.max()))
     raise RuntimeError(
         f"minimizer overflow not resolved after {max_retries} retries"
     )

@@ -153,6 +153,48 @@ def device_cases(size: int, steps: int):
             {"l": 31, "k": 5, "density": 0.01},
         )
 
+    # capability extensions beyond the reference's limits (VERDICT r2 #7):
+    # nthash2-31 at l=45 (the reference's disabled hybrid,
+    # src/nthash2_avx512_32.rs), hash_width=64 (its commented H=u64 config,
+    # src/lib.rs:32), and an l=100 HPC case (scalar-path territory,
+    # BUFLEN=256 src/nthash_hpc.rs:9-11 — SIMD paths stop at l=31).
+    ext_cases = [
+        ("kminmers_regular_nthash2_l45", dict(l=45, variant="nthash2")),
+        ("kminmers_hpc_l100_k5", dict(l=100, mode="hpc")),
+        ("kminmers_regular_u64_l31", dict(l=31, hash_width=64)),
+    ]
+    for name, kw in ext_cases:
+        spec = PipelineSpec(
+            l=kw.get("l", 31),
+            k=5,
+            density=0.01,
+            mode=kw.get("mode", "regular"),
+            max_minimizers=m_cap,
+            hash_width=kw.get("hash_width", 32),
+            variant=kw.get("variant", "nthash1"),
+        )
+
+        def s_pipe(codes, spec=spec):
+            out = kminmer_pipeline(codes, lengths, spec)
+            return (
+                out.n_kminmers.sum()
+                + jax.lax.bitcast_convert_type(out.hash_lo, jnp.int32).sum()
+                + out.start.sum()
+            )
+
+        yield run(
+            name,
+            s_pipe,
+            {
+                "l": spec.l,
+                "k": 5,
+                "density": 0.01,
+                "hash_width": spec.hash_width,
+                "variant": spec.variant,
+                "mode": spec.mode,
+            },
+        )
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()

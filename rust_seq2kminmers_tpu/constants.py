@@ -203,7 +203,22 @@ def encode_xcodes(
     seq: bytes | str | np.ndarray, family: str = "scalar"
 ) -> np.ndarray:
     """ASCII sequence -> uint8 xcode array ((raw-byte-diff keep << 3) |
-    hash_code3)."""
+    hash_code3).  Large non-ndarray inputs go through the native AVX-512
+    encoder (io/native/rle_kernels.h xcode_dispatch; ~10-20 GB/s vs
+    ~0.15 GB/s for the numpy fancy-index path), reading str input zero-copy
+    from its UCS1 buffer."""
+    if not isinstance(seq, np.ndarray) and len(seq) >= 4096:
+        try:
+            from .io.native_ext import load_ext
+
+            ext = load_ext()
+        except Exception:  # pragma: no cover — loader failure
+            ext = None
+        if ext is not None and hasattr(ext, "xcode"):
+            try:
+                return ext.xcode(seq, code_table(family))
+            except ValueError:  # non-latin-1 str: fall through to numpy
+                pass
     b = _to_byte_array(seq)
     codes = code_table(family)[b]
     if len(b) == 0:

@@ -260,4 +260,53 @@ int64_t rle_dispatch(const uint8_t* seq, int64_t n, int collapse_any,
   return plan.total;
 }
 
+// ---- xcode encoding --------------------------------------------------
+// out[i] = table[seq[i]] | ((seq[i] != seq[i-1]) << 3): the 3-bit hash
+// code plus the precomputed raw-byte-diff HPC keep flag consumed by the
+// fused TPU kernel (see constants.py for the format contract; the raw-
+// byte run comparison mirrors reference src/nthash_hpc.rs:253-263).
+
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
+#define S2K_HAVE_AVX512_XCODE 1
+__attribute__((target("avx512f,avx512bw,avx512vbmi")))
+inline void xcode_avx512(const uint8_t* seq, int64_t n,
+                         const uint8_t* table, uint8_t* out) {
+  // full 256-entry lookup as two permutex2var halves (low 7 index bits)
+  // selected by the byte's high bit.
+  const __m512i t0 = _mm512_loadu_si512(table);
+  const __m512i t1 = _mm512_loadu_si512(table + 64);
+  const __m512i t2 = _mm512_loadu_si512(table + 128);
+  const __m512i t3 = _mm512_loadu_si512(table + 192);
+  const __m512i eight = _mm512_set1_epi8(8);
+  out[0] = table[seq[0]] | 8;
+  int64_t i = 1;
+  for (; i + 64 <= n; i += 64) {
+    __m512i v = _mm512_loadu_si512(seq + i);
+    __m512i p = _mm512_loadu_si512(seq + i - 1);
+    __mmask64 keep = _mm512_cmpneq_epi8_mask(v, p);
+    __m512i lo = _mm512_permutex2var_epi8(t0, v, t1);
+    __m512i hi = _mm512_permutex2var_epi8(t2, v, t3);
+    __m512i code = _mm512_mask_blend_epi8(_mm512_movepi8_mask(v), lo, hi);
+    _mm512_storeu_si512(out + i,
+                        _mm512_mask_add_epi8(code, keep, code, eight));
+  }
+  for (; i < n; i++)
+    out[i] = table[seq[i]] | ((seq[i] != seq[i - 1]) << 3);
+}
+#endif
+
+inline void xcode_dispatch(const uint8_t* seq, int64_t n,
+                           const uint8_t* table, uint8_t* out) {
+  if (n <= 0) return;
+#if defined(S2K_HAVE_AVX512_XCODE)
+  if (n >= 128 && __builtin_cpu_supports("avx512vbmi")) {
+    xcode_avx512(seq, n, table, out);
+    return;
+  }
+#endif
+  out[0] = table[seq[0]] | 8;
+  for (int64_t i = 1; i < n; i++)
+    out[i] = table[seq[i]] | ((seq[i] != seq[i - 1]) << 3);
+}
+
 }  // namespace s2k

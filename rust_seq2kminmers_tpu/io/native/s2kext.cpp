@@ -156,9 +156,35 @@ PyObject* s2k_rle(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   return Py_BuildValue("(NN)", str, reinterpret_cast<PyObject*>(arr));
 }
 
+PyObject* s2k_xcode(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+  // xcode(data, table: buffer of >= 256 uint8) -> uint8 ndarray
+  if (nargs != 2) {
+    PyErr_SetString(PyExc_TypeError, "xcode(data, table)");
+    return nullptr;
+  }
+  Input in, tab;
+  if (get_input(args[0], &in) != 0) return nullptr;
+  if (get_input(args[1], &tab) != 0) return nullptr;
+  if (tab.n < 256) {
+    PyErr_SetString(PyExc_ValueError, "table must hold 256 bytes");
+    return nullptr;
+  }
+  npy_intp dim = in.n;
+  PyArrayObject* arr = reinterpret_cast<PyArrayObject*>(
+      PyArray_SimpleNew(1, &dim, NPY_UINT8));
+  if (!arr) return nullptr;
+  uint8_t* out = static_cast<uint8_t*>(PyArray_DATA(arr));
+  Py_BEGIN_ALLOW_THREADS;
+  s2k::xcode_dispatch(in.data, in.n, tab.data, out);
+  Py_END_ALLOW_THREADS;
+  return reinterpret_cast<PyObject*>(arr);
+}
+
 PyMethodDef kMethods[] = {
     {"rle", reinterpret_cast<PyCFunction>(s2k_rle), METH_FASTCALL,
      "rle(data, collapse_any, wide, want_pos) -> (str, ndarray|None)"},
+    {"xcode", reinterpret_cast<PyCFunction>(s2k_xcode), METH_FASTCALL,
+     "xcode(data, table256) -> uint8 ndarray ((keep << 3) | code)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -86,7 +86,6 @@ def minimizer_stream_long(
     spec: PipelineSpec,
     chunk: int = DEFAULT_CHUNK,
     interpret: Optional[bool] = None,
-    max_retries: int = 4,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (start, end, hash) numpy arrays of the full ordered minimizer
     stream of one long sequence (positions in original space, global)."""
@@ -117,47 +116,75 @@ def minimizer_stream_long(
     base = jnp.zeros((1,), dtype=I32)
     pend = jnp.zeros((1, 8, 128), dtype=I32)
     limit = jnp.full((1,), limit_g, dtype=I32)
-    starts, ends, hashes = [], [], []
     step = _chunk_step(
         spec, chunk, nslots, rows_out, m_cap, interpret, block_rows
     )
-    for ci in range(nchunks):
+
+    def chunk_input(ci):
         part = codes[ci * chunk : (ci + 1) * chunk]
         if part.shape[0] < chunk:
             buf = np.full((1, chunk), XCODE_PAD, dtype=np.uint8)
             buf[0, : part.shape[0]] = part
         else:
             buf = part[None, :]
-        length_local = jnp.full(
+        return jnp.asarray(buf), jnp.full(
             (1,), min(chunk, n - ci * chunk), dtype=I32
         )
-        for attempt in range(max_retries + 1):
-            mst, men, mhs, n_min, n_raw, base_n, pend_n = step(
-                jnp.asarray(buf), length_local, limit, base, pend
+
+    # Phase A — dispatch EVERY chunk asynchronously: the tiny carry chains
+    # on-device from launch to launch, uploads pipeline behind compute,
+    # and no host round-trip happens inside the loop.  Overflow checks are
+    # deferred: the carry is computed from the kept STREAM (exact even
+    # when survivor capacities overflow), so failed chunks can be re-run
+    # afterwards from their saved carry-in without disturbing the chain.
+    per_chunk = []
+    for ci in range(nchunks):
+        buf_d, length_local = chunk_input(ci)
+        carry_in = (base, pend)
+        mst, men, mhs, n_min, n_raw, base, pend = step(
+            buf_d, length_local, limit, base, pend
+        )
+        per_chunk.append([mst, men, mhs, n_min, n_raw, carry_in])
+
+    # Phase B — one sync: fetch the per-chunk counters.
+    nm = np.array([int(c[3][0]) for c in per_chunk])
+    nr = np.array([int(c[4][0]) for c in per_chunk])
+
+    # Phase C — rescue failed chunks on the lossless configuration
+    # (slots=128 covers a fully-surviving row; rows_out=0 is the kernel's
+    # lossless block-dense max — see api.rescue_spec), with M raised to
+    # the exact known requirement.  ONE rescue executable serves every
+    # failed chunk.
+    bad = np.flatnonzero(nm < nr)
+    if bad.size:
+        r_cap = m_cap
+        while r_cap < int(nr.max()):
+            r_cap *= 2
+        rstep = _chunk_step(
+            spec, chunk, 128, 0, r_cap, interpret, block_rows
+        )
+        for ci in bad:
+            buf_d, length_local = chunk_input(int(ci))
+            b0, p0 = per_chunk[ci][5]
+            mst, men, mhs, n_min, n_raw, _, _ = rstep(
+                buf_d, length_local, limit, b0, p0
             )
-            nm, nr = int(n_min[0]), int(n_raw[0])
-            if nm >= nr:
-                break
-            if attempt == max_retries:
+            nm_i, nr_i = int(n_min[0]), int(n_raw[0])
+            if nm_i < nr_i:  # pragma: no cover — lossless + exact M
                 raise RuntimeError(
-                    f"minimizer overflow in chunk {ci} not resolved "
-                    f"({nm} < {nr})"
+                    f"chunk {ci} overflow not resolved ({nm_i} < {nr_i})"
                 )
-            # Escalate every capacity the loss could implicate (the counts
-            # cannot localize it) and recompile the step once.
-            nslots = min(128, nslots * 2)
-            rows_out = min(256, rows_out * 2)
-            if nr > m_cap:
-                while m_cap < nr:
-                    m_cap *= 2
-            step = _chunk_step(
-                spec, chunk, nslots, rows_out, m_cap, interpret, block_rows
-            )
-        base, pend = base_n, pend_n
+            per_chunk[ci][:3] = [mst, men, mhs]
+            nm[ci] = nm_i
+
+    # Phase D — fetch only the valid survivor prefixes.
+    starts, ends, hashes = [], [], []
+    for ci, (mst, men, mhs, *_rest) in enumerate(per_chunk):
         off = ci * chunk
-        starts.append(np.asarray(mst[0, :nm], dtype=np.int64) + off)
-        ends.append(np.asarray(men[0, :nm], dtype=np.int64) + off)
-        hashes.append(np.asarray(mhs[0, :nm]).view(np.uint32))
+        k_ = int(nm[ci])
+        starts.append(np.asarray(mst[0, :k_], dtype=np.int64) + off)
+        ends.append(np.asarray(men[0, :k_], dtype=np.int64) + off)
+        hashes.append(np.asarray(mhs[0, :k_]).view(np.uint32))
     return (
         np.concatenate(starts) if starts else np.zeros(0, np.int64),
         np.concatenate(ends) if ends else np.zeros(0, np.int64),

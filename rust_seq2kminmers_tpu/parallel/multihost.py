@@ -173,26 +173,22 @@ def run_file_distributed(
             res = step_for(rspec)(gcodes, glens)
             if int(np.asarray(res.lost)) == 0:
                 break
-            cur_m = rspec.max_minimizers or rspec.capacity_for(pad)
-            cur_s = rspec.slots
-            if cur_s is None:
-                from ..ops.pallas.fused_scan import slots_for_density
+            # Jump straight to the lossless rescue configuration (ONE
+            # reusable executable, api.rescue_spec) with M doubled — the
+            # psum'd loss flag cannot carry the exact raw count across
+            # hosts, so M escalates deterministically instead.  Every
+            # process reads the same `lost`, so all hosts take the same
+            # path and their compiled steps stay identical.
+            from ..api import rescue_spec
 
-                cur_s = slots_for_density(rspec.density)
-            cur_r = rspec.rows_out
-            if cur_r is None:
-                from ..ops.pipeline import default_rows_out
-
-                cur_r = default_rows_out(rspec.density)
-            # escalate every capacity that can drop survivors (slots,
-            # block-dense rows, compacted M) — the loss psum cannot
-            # distinguish them, and doubling is deterministic across hosts
-            rspec = dataclasses.replace(
-                rspec,
-                max_minimizers=min(pad, cur_m * 2),
-                slots=min(128, cur_s * 2),
-                rows_out=min(256, cur_r * 2),
-            )
+            resc = rescue_spec(rspec)
+            if (rspec.slots, rspec.rows_out) != (resc.slots, resc.rows_out):
+                rspec = resc  # lossless kernel capacities, M unchanged
+            else:  # already lossless: only M can still be the bottleneck
+                cur_m = rspec.max_minimizers or rspec.capacity_for(pad)
+                rspec = dataclasses.replace(
+                    rspec, max_minimizers=min(pad, cur_m * 2)
+                )
         else:
             raise RuntimeError(
                 "minimizer capacity overflow not resolved after 8 "

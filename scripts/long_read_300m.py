@@ -32,23 +32,36 @@ from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec  # noqa: E402
 
 def synth_read(n: int, seed: int = 42) -> np.ndarray:
     """Synthetic genome-ish bytes: random ACGT with interspersed short
-    homopolymer runs (so HPC modes do real work)."""
+    homopolymer runs (so HPC modes do real work).  Fully vectorized: draw
+    per-run (base, length) pairs, repeat, truncate."""
     rng = np.random.default_rng(seed)
-    b = rng.integers(0, 4, size=n).astype(np.uint8)
-    # plant runs: ~2% of positions start a run of 2-12 copies
-    starts = rng.random(n) < 0.02
-    run_len = rng.integers(2, 13, size=n)
-    idx = np.flatnonzero(starts)
-    for i in idx[:200000]:
-        b[i : i + run_len[i]] = b[i]
+    # mean run length ~1.25: mostly singletons, ~2% runs of 2-12
+    m = int(n * 0.9) + 16
+    lens = np.where(
+        rng.random(m) < 0.02, rng.integers(2, 13, size=m), 1
+    )
+    bases = rng.integers(0, 4, size=m).astype(np.uint8)
+    b = np.repeat(bases, lens)[:n]
+    if b.shape[0] < n:  # pragma: no cover — margin above makes this rare
+        b = np.concatenate([b, rng.integers(0, 4, size=n - b.shape[0]).astype(np.uint8)])
     return np.frombuffer(b"ACGT", dtype=np.uint8)[b]
 
 
 def main():
+    import faulthandler
+
+    faulthandler.dump_traceback_later(1200, repeat=True, exit=False)
     n_mbp = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     n = n_mbp * 1_000_000
     mode, l, k, d = "hpcsimd", 31, 5, 0.01
     spec = PipelineSpec(l=l, k=k, density=d, mode=mode)
+    import os
+
+    import jax
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"generating {n_mbp} Mbp synthetic read ...", flush=True)
     raw = synth_read(n)
     t0 = time.perf_counter()
@@ -56,9 +69,59 @@ def main():
     t_enc = time.perf_counter() - t0
     print(f"host encode: {n / t_enc / 1e9:.2f} GB/s", flush=True)
 
+    # Device-resident streaming rate: the chunk step (fused scan + carry +
+    # phase-2 compaction) under lax.scan, one sync per 8 chunks — the rate
+    # the hardware sustains when the host/tunnel is out of the picture
+    # (the axon tunnel adds ~0.3-0.4 s latency PER LAUNCH; a co-located
+    # host would pay ~100 us).
+    import jax
+    import jax.numpy as jnp
+
+    from rust_seq2kminmers_tpu.ops.long_read import _chunk_step, _nslots
+    from rust_seq2kminmers_tpu.ops.pipeline import default_rows_out
+
+    cdev = 1 << 25
+    m_dev = spec.capacity_for(cdev)
+    stepd = _chunk_step(
+        spec, cdev, _nslots(spec), default_rows_out(d, 256), m_dev, False
+    )
+    buf = jnp.asarray(codes[None, :cdev])
+    I32 = jnp.int32
+    ll = jnp.full((1,), cdev, I32)
+    lim = jnp.full((1,), 1 << 30, I32)
+    STEPS = 8
+
+    @jax.jit
+    def unit(buf):
+        def body(carry, i):
+            acc, b0, p0 = carry
+            mst, men, mhs, n_min, n_raw, b1, p1 = stepd(
+                jnp.roll(buf, i, axis=1), ll, lim, b0, p0
+            )
+            return (acc + n_min.sum() + mst[0, 0], b1, p1), None
+
+        init = (
+            jnp.int32(0),
+            jnp.zeros((1,), I32),
+            jnp.zeros((1, 8, 128), I32),
+        )
+        (acc, _, _), _ = jax.lax.scan(
+            body, init, jnp.arange(STEPS, dtype=jnp.int32)
+        )
+        return acc
+
+    int(unit(buf))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(unit(buf))
+        ts.append(time.perf_counter() - t0)
+    dev_gbs = cdev / (float(np.median(ts)) / STEPS) / 1e9
+    print(f"device-resident chunk stream: {dev_gbs:.2f} GB/s", flush=True)
+
     results = {}
     streams = {}
-    for chunk in (1 << 25, 1 << 24):
+    for chunk in (1 << 27, 1 << 26):
         t0 = time.perf_counter()
         st, en, hs = minimizer_stream_long(codes, spec, chunk=chunk)
         dt = time.perf_counter() - t0
@@ -110,8 +173,13 @@ def main():
         "k": k,
         "density": d,
         "host_encode_gb_s": round(n / t_enc / 1e9, 3),
+        "device_resident_gb_s": round(dev_gbs, 3),
         "chunk_invariance": bool(inv),
         "oracle_4mbp_prefix": bool(oracle_ok),
+        "note": "end-to-end rates include the axon tunnel's ~0.3-0.4 s "
+        "PER-LAUNCH dispatch latency and MB/s-class downloads; "
+        "device_resident_gb_s is the rate with host I/O out of the "
+        "picture (co-located hosts pay ~100 us/launch over PCIe)",
         **results,
     }
     path = Path(__file__).resolve().parents[1] / "LONGREAD_r03.json"

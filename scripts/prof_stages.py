@@ -2,7 +2,11 @@
 sync per STEPS on-device iterations — the axon tunnel RTT is ~30 ms, so
 per-call timing is meaningless)."""
 
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

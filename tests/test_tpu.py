@@ -76,6 +76,79 @@ def test_u64_width_on_chip(tpu_device, ecoli_seq):
     assert [k.hash for k in kms] == [r.hash for r in ref]
 
 
+@pytest.mark.parametrize(
+    "mode,variant,width",
+    [
+        ("regular", "nthash1", 32),
+        ("simd", "nthash1", 32),
+        ("hpc", "nthash1", 32),
+        ("hpcsimd", "nthash1", 32),
+        ("regular", "nthash2", 32),
+        ("hpc", "nthash2", 32),
+        ("regular", "nthash1", 64),
+    ],
+)
+def test_block_boundary_stress_on_chip(tpu_device, rng, mode, variant, width):
+    """>=200 kb reads whose homopolymer runs deliberately SPAN the fused
+    kernel's 32k-element block boundaries: the Mosaic-lowered carry logic
+    (pending window, base rank, two-half packed HPC move) is exercised at
+    real block counts in every mode — interpret mode alone cannot vouch
+    for the lowered code (VERDICT r2 #6)."""
+    from rust_seq2kminmers_tpu.api import kminmers_list
+    from rust_seq2kminmers_tpu.oracle import HashMode, kminmers
+
+    BLK = 256 * 128  # fused kernel block element count
+    n = 220_000
+    b = rng.choice(list("ACGTN"), size=n)
+    # plant runs straddling every block boundary (length 9-300, centered)
+    for edge in range(BLK, n, BLK):
+        ln = int(rng.integers(9, 300))
+        lo = max(0, edge - ln // 2)
+        b[lo : lo + ln] = b[lo]
+    # plus scattered short runs so HPC does real work everywhere
+    for i in rng.integers(0, n - 64, size=2000):
+        b[i : i + int(rng.integers(2, 9))] = b[i]
+    s = "".join(b)
+    l = 45 if variant == "nthash2" else 31
+    got = kminmers_list(
+        s, l, 5, 0.01, HashMode(mode), hash_width=width, variant=variant
+    )
+    ref = kminmers(
+        s, l, 5, 0.01, HashMode(mode), hash_width=width, variant=variant
+    )
+    assert len(got) == len(ref), (mode, variant, len(got), len(ref))
+    assert len(ref) > 50
+    for g, r in zip(got, ref):
+        assert (g.hash, g.start, g.end, g.rev) == (
+            r.hash, r.start, r.end, r.rev,
+        ), (mode, variant)
+
+
+@pytest.mark.parametrize("mode", ["regular", "hpcsimd"])
+def test_long_read_chunked_on_chip(tpu_device, rng, mode):
+    """The chunked long-read driver, Mosaic-lowered: a 3 Mbp read split
+    into 1 Mb chunks must be record-exact vs the oracle — the on-chip
+    proof of the carry injection (base0/pend0) and carry-out rebase."""
+    from rust_seq2kminmers_tpu.ops.long_read import kminmers_long
+    from rust_seq2kminmers_tpu.oracle import HashMode, kminmers
+
+    n = 3_000_000
+    b = rng.choice(list("ACGT"), size=n)
+    for i in rng.integers(0, n - 64, size=20000):
+        b[i : i + int(rng.integers(2, 12))] = b[i]
+    s = "".join(b)
+    got = kminmers_long(s, 31, 5, 0.01, mode=mode, chunk=1 << 20)
+    ref = kminmers(s, 31, 5, 0.01, HashMode(mode))
+    assert len(got["hash"]) == len(ref) > 3000
+    for i, r in enumerate(ref):
+        assert (
+            int(got["hash"][i]),
+            int(got["start"][i]),
+            int(got["end"][i]),
+            bool(got["rev"][i]),
+        ) == (r.hash, r.start, r.end, r.rev), (mode, i)
+
+
 def test_stream_on_chip(tpu_device, tmp_path, rng):
     """Streaming runner end-to-end on the chip: bucketed mixed-length file,
     ordered stream vs oracle."""
