@@ -100,7 +100,7 @@ def minimizer_stream_long(
         return e, e.copy(), np.zeros(0, dtype=np.uint32)
     chunk = max(int(chunk), 8 * 128)
     chunk = -(-chunk // (8 * 128)) * (8 * 128)
-    block_rows = min(256, chunk // 128)
+    block_rows = min(512, chunk // 128)
     if spec.is_hpc:
         limit_g = 1 << 30
     else:

@@ -287,6 +287,41 @@ def _lane_compact_slots(mask_i32, cols):
     return cols, cnt
 
 
+def _lane_compact_slots_u(mask_i32, cols, carry=None, obits=7):
+    """Per-row left-pack like _lane_compact_slots, but the driver array
+    packs (offset << obits | carry) in ONE i32, so the carried small
+    payload moves for free with the offset bookkeeping — one fewer rolled
+    array per round than driver+carry-column+payloads.
+
+    carry must fit obits bits per element (default: the source lane, 7
+    bits — non-HPC modes reconstruct the affine stream position from it;
+    HPC modes pass the 17-bit block-relative position with obits=17).
+
+    Returns (residual driver = carry value per slot, packed cols,
+    per-row counts [R, 1])."""
+    li = jax.lax.broadcasted_iota(I32, mask_i32.shape, dimension=1)
+    if carry is None:
+        carry = li
+    ps = _lane_cumsum_mxu(mask_i32).astype(I32)
+    cnt = ps[:, LANES - 1 :]
+    u = jnp.where(mask_i32 != 0, ((li - (ps - 1)) << obits) | carry, 0)
+    cols = list(cols)
+    for j in range(7):
+        sh = 1 << j
+        shv = 1 << (obits + j)
+        u_in = pltpu.roll(u, LANES - sh, 1)
+        take = (li < LANES - sh) & ((u_in & shv) != 0)
+        cols = [
+            jnp.where(take, pltpu.roll(c, LANES - sh, 1), c) for c in cols
+        ]
+        u = jnp.where(
+            take,
+            u_in - shv,
+            jnp.where((u & shv) == 0, u, 0),
+        )
+    return u, cols, cnt
+
+
 def _fused_kernel(
     limit_ref,  # scalar prefetch: int32[B] window-start limit (rank space)
     length_ref,  # scalar prefetch: int32[B] raw read length
@@ -383,25 +418,37 @@ def _fused_kernel(
             comp = (
                 (t * (br * LANES) + (v & 0x3FFF)) << 3
             ) | (_shrl(v, 14) & 7)
-        elif br % 2 == 0 and 17 + _nbits(br * LANES // 2) <= 31:
-            # two-half packed move (production br=256): each half's
-            # survivors compact independently with 14-bit in-half offsets
-            # (still one payload array per round), then ONE dynamic flat
-            # shift splices half 2 onto half 1's kept prefix.
-            half = br // 2
-            hbase = half * LANES
-            in2 = ri >= half
-            cnt1 = jnp.sum(keep_i * (1 - in2.astype(I32)))
-            pos_h = jnp.where(in2, pos_loc - hbase, pos_loc)
-            rk_h = jnp.where(in2, rank - cnt1, rank)
+        elif _parts_for(br) is not None:
+            # N-part packed move (br=256: halves; br=512: quarters; ...):
+            # each 16384-element part's survivors compact independently
+            # with 14-bit in-part offsets (one payload array per round —
+            # in-part offset <= in-part position, so elements never cross
+            # backwards into the previous part and parts stay disjoint
+            # through every round), then parts-1 windowed dynamic flat
+            # shifts splice each part onto the accumulated kept prefix.
+            parts = _parts_for(br)
+            prow = br // parts
+            pbase = prow * LANES
+            pidx = ri // prow  # part index of each element's row
+            pos_p = pos_loc - pidx * pbase
+            cnt_p = [
+                jnp.sum(keep_i * (pidx == j).astype(I32))
+                for j in range(parts)
+            ]
+            pref = jnp.zeros_like(rank)
+            acc = jnp.int32(0)
+            for j in range(1, parts):
+                acc = acc + cnt_p[j - 1]
+                pref = jnp.where(pidx == j, acc, pref)
+            rk_p = rank - pref
             v = jnp.where(
                 keep,
-                ((pos_h - (rk_h - 1)) << 17)
+                ((pos_p - (rk_p - 1)) << 17)
                 | ((main & 7) << 14)
-                | pos_h,
+                | pos_p,
                 0,
             )
-            for b_ in range(_nbits(hbase)):
+            for b_ in range(_nbits(pbase)):
                 shv = 1 << (17 + b_)
                 v_in = _flat_shift_any(v, 1 << b_)
                 take = (v_in & shv) != 0
@@ -413,13 +460,19 @@ def _fused_kernel(
             comp = (
                 (
                     t * (br * LANES)
-                    + jnp.where(in2, hbase, 0)
+                    + pidx * pbase
                     + (v & 0x3FFF)  # full 14-bit pos field (see above)
                 )
                 << 3
             ) | (_shrl(v, 14) & 7)
-            spliced = _flat_shift_dyn(comp, hbase - cnt1)
-            comp = jnp.where(pos_loc >= cnt1, spliced, comp)
+            accn = cnt_p[0]
+            for j in range(1, parts):
+                spliced = _flat_shift_dyn(comp, j * pbase - accn)
+                window = (pos_loc >= accn) & (
+                    pos_loc < accn + cnt_p[j]
+                )
+                comp = jnp.where(window, spliced, comp)
+                accn = accn + cnt_p[j]
         else:  # very wide blocks: classic two-array move
             packed = (absj << 3) | (main & 7)
             off = jnp.where(keep, pos_loc - (rank - 1), DROP)
@@ -464,10 +517,11 @@ def _fused_kernel(
     # keep chunk-relative (negative) positions; in-chunk packing is always
     # non-negative, so this is a no-op for whole-sequence scans.
     pos = ext >> 3
-    if emit_end:
+    if emit_end and do_hpc:
         # hpc: end = pos[f+l] - 1; hpcsimd: end = pos[f+l-1].  For the
-        # regular/simd modes end == start + l - 1 is derived by the caller
-        # and the whole column is skipped.
+        # regular/simd modes end == start + l - 1 is derived from the
+        # packed start after the dense move and the full-tile column is
+        # skipped entirely.
         if hpc_end:
             end_col = _flat_shift_any(pos, l) - 1
         else:
@@ -490,9 +544,48 @@ def _fused_kernel(
     )
 
     # ---- per-row slot compaction ----
-    cols_in = [pos, end_col, h] if emit_end else [pos, h]
-    packed_cols, rc = _lane_compact_slots(mask.astype(I32), cols_in)
     raw_total = jnp.sum(mask.astype(I32))
+    if do_hpc and emit_end and _nbits(br * LANES) + 7 + 1 <= 31:
+        # Split pack: survivors on the 8 carried prefix rows (only the
+        # last ceil(l/128) rows can hold any) keep the general
+        # driver+3-column pack on a tiny tile; main-row survivors pack
+        # the BLOCK-RELATIVE start position (<= 17 bits) into the driver
+        # itself, so only (end, hash) roll as payload — one fewer moved
+        # array per round on ~98% of the tile.
+        mask_i = mask.astype(I32)
+        pb = _nbits(br * LANES)
+        cols_pre, rc_pre = _lane_compact_slots(
+            mask_i[:8], [pos[:8], end_col[:8], h[:8]]
+        )
+        blk0 = t * (br * LANES)
+        u_m, cols_m, rc_m = _lane_compact_slots_u(
+            mask_i[8:],
+            [end_col[8:], h[8:]],
+            carry=pos[8:] - blk0,
+            obits=pb,
+        )
+        pos_main = blk0 + (u_m & ((1 << pb) - 1))
+        packed_cols = [
+            jnp.concatenate([a, b], axis=0)
+            for a, b in zip(
+                cols_pre, [pos_main, cols_m[0], cols_m[1]]
+            )
+        ]
+        rc = jnp.concatenate([rc_pre, rc_m], axis=0)
+    elif do_hpc:
+        cols_in = [pos, end_col, h] if emit_end else [pos, h]
+        packed_cols, rc = _lane_compact_slots(mask.astype(I32), cols_in)
+    else:
+        # non-HPC: stream position is affine in the ext flat index
+        # (pos = t*br*128 + efl - P0, including carried-in prefix elements
+        # with chunk-relative negative positions), so only the hash moves
+        # as payload and the position is rebuilt from the recovered lane.
+        u_col, (h_col,), rc = _lane_compact_slots_u(
+            mask.astype(I32), [h]
+        )
+        ri_s = jax.lax.broadcasted_iota(I32, u_col.shape, dimension=0)
+        pos_col = t * (br * LANES) + (ri_s * LANES + u_col) - P0
+        packed_cols = [pos_col, h_col]
 
     # ---- block-dense second level ----
     # The per-row slots are ~99% empty at production densities; writing
@@ -538,11 +631,14 @@ def _fused_kernel(
             [c, jnp.zeros((rows_out - GR, LANES), dtype=I32)], axis=0
         )
 
-    if emit_end:
+    if emit_end and do_hpc:
         ds_, de_, dh_ = dcols
-        end_out[0] = _take(de_)
     else:
         ds_, dh_ = dcols
+        if emit_end:  # non-HPC windows always span exactly l chars
+            de_ = ds_ + (l - 1)
+    if emit_end:
+        end_out[0] = _take(de_)
     start_out[0] = _take(ds_)
     hash_out[0] = _take(dh_)
     cnt_out[0] = jnp.concatenate(
@@ -594,6 +690,17 @@ def _fused_kernel(
 
 def _nbits(n: int) -> int:
     return int(n - 1).bit_length()
+
+
+def _parts_for(br: int):
+    """Number of <=16384-element parts for the N-part packed HPC move
+    (14-bit in-part offsets + 14-bit in-part pos + 3-bit code fit one
+    i32), or None if br doesn't split evenly."""
+    n = -(-(br * LANES) // (1 << 14))
+    p = 1
+    while p < n:
+        p <<= 1
+    return p if br % p == 0 and p > 1 else None
 
 
 @functools.partial(

@@ -379,9 +379,13 @@ def _fused_pipeline(
         if spec.slots is not None
         else slots_for_density(spec.density)
     )
-    # 256-row blocks: measured faster than 128-row (which would enable the
-    # single-payload packed HPC move) — per-block fixed costs dominate.
-    block_rows = 256
+    # Per-block fixed costs (pending prefix, carry, dense second level,
+    # counts) amortize with block size — measured on-chip r3: regular
+    # 5.80 (br=256) -> 7.63 GB/s (br=1024, with the packed-driver slot
+    # pack); hpc 4.37 (br=256) -> best at br=512 via the N-part packed
+    # move (4x 16384-element parts).  Gains flatten past these points
+    # while VMEM pressure and compile time grow.
+    block_rows = 512 if spec.is_hpc else 1024
     # Dense block capacity: like slots_for_density but per-block
     # (binomial mean + generous tail); slot/capacity overflow is
     # detected via counts and recovered by the api retry loop.

@@ -58,7 +58,7 @@ def _pick_block_rows(c: int) -> int:
     """Largest supported block height that tiles the local chunk exactly —
     mid-stream padding would inject fake bases between shards."""
     rows = c // LANES
-    for cand in (256, 128, 64, 32, 16, 8):
+    for cand in (512, 256, 128, 64, 32, 16, 8):
         if rows % cand == 0:
             return cand
     raise ValueError(
