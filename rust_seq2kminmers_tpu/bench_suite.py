@@ -52,6 +52,7 @@ def host_cases(size: int):
             "value": round(size / dt / 1e9, 3),
             "unit": "GB/s",
             "backend": backend,
+            "size": size,
         }
 
 
