@@ -200,7 +200,9 @@ def device_cases(size: int, steps: int):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=32 << 20)
-    ap.add_argument("--steps", type=int, default=8)
+    # 64 steps per host sync: the axon tunnel costs ~28 ms fixed per sync
+    # (measured r3: at 8 steps/sync every case reads ~3.4 ms/step slow).
+    ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--host-size", type=int, default=10_000)
     ap.add_argument("--skip-device", action="store_true")
     args = ap.parse_args(argv)

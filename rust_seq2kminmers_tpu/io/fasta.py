@@ -38,7 +38,11 @@ def _load_native():
         if _lib is not None or _native_failed:
             return _lib
         try:
-            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            src_mtime = max(
+                _SRC.stat().st_mtime,
+                (_NATIVE_DIR / "rle_kernels.h").stat().st_mtime,
+            )
+            if not _SO.exists() or _SO.stat().st_mtime < src_mtime:
                 _SO.parent.mkdir(parents=True, exist_ok=True)
                 subprocess.run(
                     [

@@ -103,11 +103,17 @@ inline int64_t rle_count_avx512(const uint8_t* seq, int64_t i0, int64_t i1,
 }
 
 // Compress-store pass over [i0, i1), writing from element index m.
+// m_cap bounds the writable output region IN ELEMENTS: while
+// m + 64 <= m_cap the fast path (register compress + full-vector store,
+// overshooting by up to 64 zero elements inside the still-owned region)
+// is used; otherwise the exact (microcoded, ~6x slower) compressstoreu.
+// Concurrent chunk writers pass their own chunk's end so the overshoot
+// never crosses into a neighbour's region.
 template <typename PosT>
 __attribute__((target("avx512f,avx512bw,avx512vbmi,avx512vbmi2,popcnt")))
 int64_t rle_avx512(const uint8_t* seq, int64_t i0, int64_t i1,
                    int collapse_any, uint8_t* out_chars, PosT* out_pos,
-                   int64_t m) {
+                   int64_t m, int64_t m_cap) {
   const RleLut lut = rle_lut();
   const __m512i iota16 = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
                                            10, 11, 12, 13, 14, 15);
@@ -115,8 +121,50 @@ int64_t rle_avx512(const uint8_t* seq, int64_t i0, int64_t i1,
   int64_t i = i0;
   for (; i + 64 <= i1; i += 64) {
     __mmask64 k = keep_mask(seq, i, collapse_any, lut);
-    _mm512_mask_compressstoreu_epi8(out_chars + m, k,
-                                    _mm512_loadu_si512(seq + i));
+    __m512i v = _mm512_loadu_si512(seq + i);
+    if (m + 64 <= m_cap) {
+      _mm512_storeu_si512(out_chars + m, _mm512_maskz_compress_epi8(k, v));
+      if (!out_pos) {
+        m += __builtin_popcountll(k);
+        continue;
+      }
+      int64_t mq = m;
+      if (sizeof(PosT) == 4) {
+        for (int q = 0; q < 4; q++) {
+          __mmask16 kq = static_cast<__mmask16>(k >> (16 * q));
+          __m512i pos = _mm512_add_epi32(
+              iota16, _mm512_set1_epi32(static_cast<int32_t>(i) + 16 * q));
+          _mm512_storeu_si512(reinterpret_cast<int32_t*>(out_pos) + mq,
+                              _mm512_maskz_compress_epi32(kq, pos));
+          mq += __builtin_popcount(kq);
+        }
+      } else {
+        // widen in-register: compress 32-bit window-relative offsets,
+        // then cvt+add the 64-bit base (i may exceed int32 range)
+        for (int q = 0; q < 4; q++) {
+          __mmask16 kq = static_cast<__mmask16>(k >> (16 * q));
+          __m512i rel = _mm512_add_epi32(iota16, _mm512_set1_epi32(16 * q));
+          __m512i cr = _mm512_maskz_compress_epi32(kq, rel);
+          __m512i base = _mm512_set1_epi64(i);
+          _mm512_storeu_si512(
+              reinterpret_cast<int64_t*>(out_pos) + mq,
+              _mm512_add_epi64(
+                  base, _mm512_cvtepu32_epi64(
+                            _mm512_castsi512_si256(cr))));
+          int pc = __builtin_popcount(kq);
+          if (pc > 8)
+            _mm512_storeu_si512(
+                reinterpret_cast<int64_t*>(out_pos) + mq + 8,
+                _mm512_add_epi64(
+                    base, _mm512_cvtepu32_epi64(
+                              _mm512_extracti64x4_epi64(cr, 1))));
+          mq += pc;
+        }
+      }
+      m = mq;
+      continue;
+    }
+    _mm512_mask_compressstoreu_epi8(out_chars + m, k, v);
     if (!out_pos) {
       m += __builtin_popcountll(k);
       continue;
@@ -221,18 +269,22 @@ void rle_store(const RlePlan& plan, const uint8_t* seq, int64_t n,
   if (plan.avx) {
     if (!plan.lo.empty()) {
       int64_t nthreads = static_cast<int64_t>(plan.base.size());
+      auto cap = [&](int64_t t) {  // this chunk's exclusive output end
+        return t + 1 < nthreads ? plan.base[t + 1] : plan.total;
+      };
       std::vector<std::thread> pool;
       for (int64_t t = 1; t < nthreads; t++)
         pool.emplace_back([&, t] {
           rle_avx512<PosT>(seq, plan.lo[t], plan.lo[t + 1], collapse_any,
-                           out_chars, out_pos, plan.base[t]);
+                           out_chars, out_pos, plan.base[t], cap(t));
         });
       rle_avx512<PosT>(seq, plan.lo[0], plan.lo[1], collapse_any, out_chars,
-                       out_pos, plan.base[0]);
+                       out_pos, plan.base[0], cap(0));
       for (auto& th : pool) th.join();
       return;
     }
-    rle_avx512<PosT>(seq, 1, n, collapse_any, out_chars, out_pos, 1);
+    rle_avx512<PosT>(seq, 1, n, collapse_any, out_chars, out_pos, 1,
+                     plan.total);
     return;
   }
 #endif
@@ -252,7 +304,8 @@ int64_t rle_dispatch(const uint8_t* seq, int64_t n, int collapse_any,
     // single-pass serial: worst-case buffers make the count pass optional
     out_chars[0] = seq[0];
     if (out_pos) out_pos[0] = 0;
-    return rle_avx512<PosT>(seq, 1, n, collapse_any, out_chars, out_pos, 1);
+    return rle_avx512<PosT>(seq, 1, n, collapse_any, out_chars, out_pos, 1,
+                            n);
   }
 #endif
   RlePlan plan = rle_plan(seq, n, collapse_any);
