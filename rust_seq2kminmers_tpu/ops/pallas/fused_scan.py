@@ -76,6 +76,19 @@ def _rol31_lane(x, amounts):
     return ((x << amounts) | _shrl(x, 31 - amounts)) & M31
 
 
+def _rol64_lane(hi, lo, r):
+    """Rotate-left mod 64 of a u64 (hi, lo) int32-lane pair by per-element
+    amounts r in [0, 64): conditional word swap on bit 5, then a 32-bit
+    cross rotate by r & 31 (the kernel twin of ops/u64.py rol64)."""
+    sw = (r & 32) != 0
+    h = jnp.where(sw, lo, hi)
+    lw = jnp.where(sw, hi, lo)
+    s = r & 31
+    hi2 = (h << s) | _shrl(_shrl(lw, 31 - s), 1)
+    lo2 = (lw << s) | _shrl(_shrl(h, 31 - s), 1)
+    return hi2, lo2
+
+
 def _mod31(x):
     """Floor-mod 31 of int32 in (-2^22, 2^22) via exact f32 division, with
     a +/-1 correction guard against float rounding at the boundary."""
@@ -91,6 +104,10 @@ def _ult(a, b):
 
 def _umin(a, b):
     return jnp.where(_ult(a, b), a, b)
+
+
+def _ult64(a_hi, a_lo, b_hi, b_lo):
+    return _ult(a_hi, b_hi) | ((a_hi == b_hi) & _ult(a_lo, b_lo))
 
 
 def _seed_tree(table: np.ndarray, code):
@@ -340,14 +357,17 @@ def _fused_kernel(
     nt: int,
     nslots: int,
     rows_out: int,  # dense 128-lane survivor rows emitted per block
-    width: int,  # hash lane width: 32 (NtHash1) or 31 (NtHash2-31)
+    width: int,  # hash lane width: 32 (NtHash1), 31 (NtHash2-31), 64 (H=u64)
     seed_f: np.ndarray,
     seed_r: np.ndarray,
+    seed_f_hi: Optional[np.ndarray],  # high words when width == 64
+    seed_r_hi: Optional[np.ndarray],
 ):
     io_refs = list(io_refs)
     start_out = io_refs.pop(0)
     end_out = io_refs.pop(0) if emit_end else None
     hash_out = io_refs.pop(0)
+    hash_hi_out = io_refs.pop(0) if width == 64 else None
     cnt_out = io_refs.pop(0)
     pend_out = io_refs.pop(0) if emit_carry else None
     pend_ref, ext_ref, sm_ref = io_refs
@@ -491,6 +511,7 @@ def _fused_kernel(
         jax.lax.broadcasted_iota(I32, ext.shape, dimension=1)
     )
     r_glob = base - P0 + efl  # global kept rank of each ext element
+    h_hi = None
     if width == 32:
         rot_f = (-r_glob) & 31
         a_f = _rol32_lane(_seed_tree(seed_f, ecode), rot_f)
@@ -499,6 +520,31 @@ def _fused_kernel(
         wr = _sliding_window_xor_flat(a_r, l)
         fh = _rol32_lane(wf, (jnp.int32(l - 1) + r_glob) & 31)
         rh = _rol32_lane(wr, rot_f)
+        h = _umin(fh, rh)
+    elif width == 64:
+        # H = u64 config (reference src/lib.rs:32): identical XOR-scan
+        # algebra on (hi, lo) int32 pairs — every rotate becomes a
+        # conditional-swap 64-bit lane rotate, the window ladder runs per
+        # word, canonical min and the density compare are pair compares.
+        rot_f = (-r_glob) & 63
+        af_hi, af_lo = _rol64_lane(
+            _seed_tree(seed_f_hi, ecode), _seed_tree(seed_f, ecode), rot_f
+        )
+        ar_hi, ar_lo = _rol64_lane(
+            _seed_tree(seed_r_hi, ecode),
+            _seed_tree(seed_r, ecode),
+            r_glob & 63,
+        )
+        wf_hi = _sliding_window_xor_flat(af_hi, l)
+        wf_lo = _sliding_window_xor_flat(af_lo, l)
+        wr_hi = _sliding_window_xor_flat(ar_hi, l)
+        wr_lo = _sliding_window_xor_flat(ar_lo, l)
+        rot_e = (jnp.int32(l - 1) + r_glob) & 63
+        fh_hi, fh_lo = _rol64_lane(wf_hi, wf_lo, rot_e)
+        rh_hi, rh_lo = _rol64_lane(wr_hi, wr_lo, rot_f)
+        f_lt = _ult64(fh_hi, fh_lo, rh_hi, rh_lo)
+        h_hi = jnp.where(f_lt, fh_hi, rh_hi)
+        h = jnp.where(f_lt, fh_lo, rh_lo)
     else:  # 31-bit NtHash2 variant: the same algebra mod 31
         # reduce the carried scalar first so per-element values stay in
         # f32-exact mod range regardless of read length
@@ -511,7 +557,8 @@ def _fused_kernel(
         wr = _sliding_window_xor_flat(a_r, l)
         fh = _rol31_lane(wf, _mod31(jnp.int32((l - 1) % 31) + r31))
         rh = _rol31_lane(wr, rot_f)
-    h = _umin(fh, rh)
+        h = _umin(fh, rh)
+    hcols = [h] if h_hi is None else [h_hi, h]  # hi first when present
 
     # Arithmetic shift: carried-in pending elements from a PREVIOUS chunk
     # keep chunk-relative (negative) positions; in-chunk packing is always
@@ -528,8 +575,17 @@ def _fused_kernel(
             end_col = _flat_shift_any(pos, l - 1)
 
     # ---- emission mask ----
-    bnd = jnp.int32(np.uint32(bound).view(np.int32))
-    passed = _ult(h, bnd) if strict else ~_ult(bnd, h)
+    if width == 64:
+        bnd_hi = jnp.int32(np.uint32((bound >> 32) & 0xFFFFFFFF).view(np.int32))
+        bnd_lo = jnp.int32(np.uint32(bound & 0xFFFFFFFF).view(np.int32))
+        passed = (
+            _ult64(h_hi, h, bnd_hi, bnd_lo)
+            if strict
+            else ~_ult64(bnd_hi, bnd_lo, h_hi, h)
+        )
+    else:
+        bnd = jnp.int32(np.uint32(bound).view(np.int32))
+        passed = _ult(h, bnd) if strict else ~_ult(bnd, h)
     # A window is emitted by the block holding its LAST element, or its
     # ONE-PAST-LAST element when the end convention needs lookahead
     # (hpc_end: end = pos[f+l]-1, the scalar HPC iterator's convention).
@@ -555,37 +611,38 @@ def _fused_kernel(
         mask_i = mask.astype(I32)
         pb = _nbits(br * LANES)
         cols_pre, rc_pre = _lane_compact_slots(
-            mask_i[:8], [pos[:8], end_col[:8], h[:8]]
+            mask_i[:8],
+            [pos[:8], end_col[:8]] + [c[:8] for c in hcols],
         )
         blk0 = t * (br * LANES)
         u_m, cols_m, rc_m = _lane_compact_slots_u(
             mask_i[8:],
-            [end_col[8:], h[8:]],
+            [end_col[8:]] + [c[8:] for c in hcols],
             carry=pos[8:] - blk0,
             obits=pb,
         )
         pos_main = blk0 + (u_m & ((1 << pb) - 1))
         packed_cols = [
             jnp.concatenate([a, b], axis=0)
-            for a, b in zip(
-                cols_pre, [pos_main, cols_m[0], cols_m[1]]
-            )
+            for a, b in zip(cols_pre, [pos_main] + list(cols_m))
         ]
         rc = jnp.concatenate([rc_pre, rc_m], axis=0)
     elif do_hpc:
-        cols_in = [pos, end_col, h] if emit_end else [pos, h]
+        cols_in = (
+            [pos, end_col] + hcols if emit_end else [pos] + hcols
+        )
         packed_cols, rc = _lane_compact_slots(mask.astype(I32), cols_in)
     else:
         # non-HPC: stream position is affine in the ext flat index
         # (pos = t*br*128 + efl - P0, including carried-in prefix elements
         # with chunk-relative negative positions), so only the hash moves
         # as payload and the position is rebuilt from the recovered lane.
-        u_col, (h_col,), rc = _lane_compact_slots_u(
-            mask.astype(I32), [h]
+        u_col, h_cols, rc = _lane_compact_slots_u(
+            mask.astype(I32), hcols
         )
         ri_s = jax.lax.broadcasted_iota(I32, u_col.shape, dimension=0)
         pos_col = t * (br * LANES) + (ri_s * LANES + u_col) - P0
-        packed_cols = [pos_col, h_col]
+        packed_cols = [pos_col] + list(h_cols)
 
     # ---- block-dense second level ----
     # The per-row slots are ~99% empty at production densities; writing
@@ -632,15 +689,17 @@ def _fused_kernel(
         )
 
     if emit_end and do_hpc:
-        ds_, de_, dh_ = dcols
+        ds_, de_, *dh = dcols
     else:
-        ds_, dh_ = dcols
+        ds_, *dh = dcols
         if emit_end:  # non-HPC windows always span exactly l chars
             de_ = ds_ + (l - 1)
     if emit_end:
         end_out[0] = _take(de_)
     start_out[0] = _take(ds_)
-    hash_out[0] = _take(dh_)
+    hash_out[0] = _take(dh[-1])  # low word (the full hash when width<=32)
+    if width == 64:
+        hash_hi_out[0] = _take(dh[0])
     cnt_out[0] = jnp.concatenate(
         [
             jnp.full((1, LANES), kept_total, dtype=I32),
@@ -718,6 +777,7 @@ def _parts_for(br: int):
         "interpret",
         "variant",
         "rows_out",
+        "hash_width",
     ),
 )
 def fused_minimizer_scan(
@@ -738,6 +798,7 @@ def fused_minimizer_scan(
     base0: Optional[jnp.ndarray] = None,  # int32[B] carry-in kept rank
     pend0: Optional[jnp.ndarray] = None,  # int32[B, 8, 128] carry-in prefix
     emit_carry: bool = False,  # also return the carry-out pending prefix
+    hash_width: int = 32,  # 32 (H=u32) or 64 (H=u64; hash returned as pair)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused pass -> block-dense survivor rows.
 
@@ -811,11 +872,25 @@ def fused_minimizer_scan(
     if pend0 is None:
         pend0 = jnp.zeros((B, 8, LANES), dtype=I32)
 
+    if hash_width not in (32, 64):
+        raise ValueError(f"fused kernel hash_width must be 32/64, got {hash_width}")
+    seed_f_hi = seed_r_hi = None
     if variant == "nthash2":
         from ...constants import seed_tables_nthash2_31
 
+        if hash_width != 32:
+            raise ValueError("nthash2 variant requires hash_width=32")
         seed_f, seed_r = seed_tables_nthash2_31()
         width = 31
+    elif hash_width == 64:
+        from ...constants import seed_tables
+
+        f64, r64 = seed_tables(64)
+        seed_f = (f64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        seed_f_hi = (f64 >> np.uint64(32)).astype(np.uint32)
+        seed_r = (r64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        seed_r_hi = (r64 >> np.uint64(32)).astype(np.uint32)
+        width = 64
     else:
         seed_f, seed_r = SEED_TABLE_F, SEED_TABLE_R
         width = 32
@@ -835,8 +910,10 @@ def fused_minimizer_scan(
         width=width,
         seed_f=seed_f,
         seed_r=seed_r,
+        seed_f_hi=seed_f_hi,
+        seed_r_hi=seed_r_hi,
     )
-    n_slot_arrays = 3 if emit_end else 2
+    n_slot_arrays = (3 if emit_end else 2) + (1 if width == 64 else 0)
     out_specs = [slot_spec] * n_slot_arrays + [cnt_spec]
     out_shapes = [
         jax.ShapeDtypeStruct((B, nt * rows_out, LANES), I32)
@@ -871,6 +948,8 @@ def fused_minimizer_scan(
     start = outs.pop(0)
     end = outs.pop(0) if emit_end else None
     hsh = outs.pop(0)
+    if width == 64:  # hash returned as a (hi, lo) pair of int32 arrays
+        hsh = (outs.pop(0), hsh)
     cnts = outs.pop(0)
     # [B, nt, (kept survivors, raw selected, kept stream)]
     counts = cnts.reshape(B, nt, 8, LANES)[:, :, :3, 0]

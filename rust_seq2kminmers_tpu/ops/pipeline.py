@@ -185,7 +185,7 @@ def kminmer_pipeline(
             and jax.default_backend() == "tpu"
         )
         or spec.compaction == "fused_interpret"
-    ) and 2 <= l <= 255 and spec.hash_width == 32
+    ) and 2 <= l <= 255 and spec.hash_width in (32, 64)
     if use_fused:
         return _fused_pipeline(codes, lengths, spec)
 
@@ -308,6 +308,9 @@ def _phase2_compact(st, en, hs, counts, m_cap, emit_end, l, interpret):
     minimizer (exact even on overflow; n_raw > n_min implies loss — slot /
     block capacity or m_cap).  Shared by the batch pipeline and the chunked
     long-read driver (ops/long_read.py)."""
+    hs_hi = None
+    if isinstance(hs, tuple):  # hash_width=64: (hi, lo) int32 pair
+        hs_hi, hs = hs
     B, SB, _ = st.shape
     NT = counts.shape[1]
     RO = SB // NT
@@ -319,6 +322,8 @@ def _phase2_compact(st, en, hs, counts, m_cap, emit_end, l, interpret):
     )
     sv = slot_valid.reshape(B, SB * 128)
     slot_cols = [st.reshape(B, SB * 128), hs.reshape(B, SB * 128)]
+    if hs_hi is not None:
+        slot_cols.append(hs_hi.reshape(B, SB * 128))
     if emit_end:
         slot_cols.insert(1, en.reshape(B, SB * 128))
     # Dense one-block compaction requires the whole slot row (+ working
@@ -334,11 +339,12 @@ def _phase2_compact(st, en, hs, counts, m_cap, emit_end, l, interpret):
         packed, n_slotted = compact(
             sv, slot_cols, m_cap, [I32(0)] * len(slot_cols), method="pallas"
         )
-    if emit_end:
-        min_start, min_end, min_hash_i = packed
-    else:
-        min_start, min_hash_i = packed
-        min_end = min_start + (l - 1)
+    packed = list(packed)
+    min_start = packed.pop(0)
+    min_end = packed.pop(0) if emit_end else min_start + (l - 1)
+    min_hash_i = packed.pop(0)
+    if hs_hi is not None:
+        min_hash_i = (packed.pop(0), min_hash_i)  # (hi, lo)
     n_min = jnp.minimum(n_slotted, m_cap)
     return min_start, min_end, min_hash_i, n_min, n_raw
 
@@ -384,8 +390,12 @@ def _fused_pipeline(
     # 5.80 (br=256) -> 7.63 GB/s (br=1024, with the packed-driver slot
     # pack); hpc 4.37 (br=256) -> best at br=512 via the N-part packed
     # move (4x 16384-element parts).  Gains flatten past these points
-    # while VMEM pressure and compile time grow.
-    block_rows = 512 if spec.is_hpc else 1024
+    # while VMEM pressure and compile time grow.  hash_width=64 doubles
+    # the live hash-lane arrays (hi/lo pairs), so blocks halve.
+    if spec.hash_width == 64:
+        block_rows = 256 if spec.is_hpc else 512
+    else:
+        block_rows = 512 if spec.is_hpc else 1024
     # Dense block capacity: like slots_for_density but per-block
     # (binomial mean + generous tail); slot/capacity overflow is
     # detected via counts and recovered by the api retry loop.
@@ -412,6 +422,7 @@ def _fused_pipeline(
         interpret=interpret,
         variant=spec.variant,
         rows_out=rows_out,
+        hash_width=spec.hash_width,
     )
     min_start, min_end, min_hash_i, n_min, n_raw = _phase2_compact(
         st, en, hs, counts, m_cap, emit_end, l, interpret
@@ -419,15 +430,30 @@ def _fused_pipeline(
     valid = jnp.arange(m_cap, dtype=I32)[None, :] < n_min[:, None]
     min_start = jnp.where(valid, min_start, 0)
     min_end = jnp.where(valid, min_end, 0)
-    min_hash = jnp.where(
-        valid, jax.lax.bitcast_convert_type(min_hash_i, U32), U32(0)
-    )
+    if spec.hash_width == 64:
+        hi_i, lo_i = min_hash_i
+        min_hash = jnp.where(
+            valid, jax.lax.bitcast_convert_type(lo_i, U32), U32(0)
+        )
+        min_hash_hi = jnp.where(
+            valid, jax.lax.bitcast_convert_type(hi_i, U32), U32(0)
+        )
+        # MixHash for u64 is the identity (src/lib.rs:171-177); the
+        # minimizer-space window hash runs on the (hi, lo) pair.
+        (kh_hi, kh_lo), rev = assemble_kminmers_mixed(
+            (min_hash_hi, min_hash), k
+        )
+    else:
+        min_hash = jnp.where(
+            valid, jax.lax.bitcast_convert_type(min_hash_i, U32), U32(0)
+        )
+        min_hash_hi = jnp.zeros_like(min_hash)
 
-    from .pallas.assemble_kernel import assemble_kminmers_pallas
+        from .pallas.assemble_kernel import assemble_kminmers_pallas
 
-    (kh_hi, kh_lo), rev = assemble_kminmers_pallas(
-        min_hash, k, interpret=interpret
-    )
+        (kh_hi, kh_lo), rev = assemble_kminmers_pallas(
+            min_hash, k, interpret=interpret
+        )
     mk = m_cap - k + 1
     n_km = jnp.maximum(n_min - (k - 1), 0)
     w = jnp.arange(mk, dtype=I32)[None, :]
@@ -441,7 +467,7 @@ def _fused_pipeline(
         rev=km_valid & rev,
         n_kminmers=n_km,
         min_hash=min_hash,
-        min_hash_hi=jnp.zeros_like(min_hash),
+        min_hash_hi=min_hash_hi,
         min_start=min_start,
         min_end=min_end,
         n_minimizers=n_min,

@@ -206,3 +206,53 @@ def test_fused_pipeline_end_to_end(rng, mode):
                 int(out.end[b, i]),
                 bool(out.rev[b, i]),
             ) == (r.hash, r.start, r.end, r.rev)
+
+
+@pytest.mark.parametrize("mode", ["regular", "hpc"])
+def test_fused_pipeline_u64_lanes(rng, mode):
+    """hash_width=64 through the fused kernel (64-bit hash lanes emulated
+    as hi/lo int32 pairs in-kernel — the reference's H=u64 compile-time
+    alternative, src/lib.rs:32) against the oracle, record-for-record.
+    SIMD modes are excluded by PipelineSpec (u64 is a scalar-path config)."""
+    codes, lengths, seqs = _batch(rng, B=2, L=4096, alphabet="AACCGGTTAANN")
+    spec = PipelineSpec(
+        l=9,
+        k=3,
+        density=0.02,
+        mode=mode,
+        hash_width=64,
+        max_minimizers=256,
+        compaction="fused_interpret",
+    )
+    out = jax.jit(lambda c, n: kminmer_pipeline(c, n, spec))(
+        jnp.asarray(codes), jnp.asarray(lengths)
+    )
+    for b in range(2):
+        nm = int(out.n_minimizers[b])
+        mh = to_py_u64(
+            (
+                np.asarray(out.min_hash_hi[b, :nm]),
+                np.asarray(out.min_hash[b, :nm]),
+            )
+        )
+        ref_min = minimizers(seqs[b], 9, 0.02, HashMode(mode), hash_width=64)
+        assert nm == len(ref_min), (mode, b)
+        assert [int(x) for x in mh] == [h for (_, _, h) in ref_min]
+        assert list(np.asarray(out.min_start[b, :nm])) == [
+            s for (s, _, _) in ref_min
+        ]
+        nk = int(out.n_kminmers[b])
+        h = to_py_u64(
+            (np.asarray(out.hash_hi[b, :nk]), np.asarray(out.hash_lo[b, :nk]))
+        )
+        ref = oracle_kminmers(
+            seqs[b], 9, 3, 0.02, HashMode(mode), hash_width=64
+        )
+        assert nk == len(ref)
+        for i, r in enumerate(ref):
+            assert (
+                int(h[i]),
+                int(out.start[b, i]),
+                int(out.end[b, i]),
+                bool(out.rev[b, i]),
+            ) == (r.hash, r.start, r.end, r.rev), (mode, b, i)
