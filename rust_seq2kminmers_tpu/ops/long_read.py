@@ -67,6 +67,7 @@ def _chunk_step(spec: PipelineSpec, chunk: int, nslots: int, rows_out: int,
             base0=base0,
             pend0=pend0,
             emit_carry=True,
+            hash_width=spec.hash_width,
         )
         mst, men, mhs, n_min, n_raw = _phase2_compact(
             st, en, hs, counts, m_cap, emit_end, l, interpret
@@ -91,13 +92,15 @@ def minimizer_stream_long(
     stream of one long sequence (positions in original space, global)."""
     n = int(codes.shape[0])
     l = spec.l
-    if spec.hash_width != 32:
-        raise ValueError("long-read streaming is 32-bit-lane only")
+    if spec.hash_width not in (32, 64):
+        raise ValueError("long-read streaming supports hash_width 32/64")
+    wide = spec.hash_width == 64
+    hdt = np.uint64 if wide else np.uint32
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if n <= l:
         e = np.zeros(0, dtype=np.int64)
-        return e, e.copy(), np.zeros(0, dtype=np.uint32)
+        return e, e.copy(), np.zeros(0, dtype=hdt)
     chunk = max(int(chunk), 8 * 128)
     chunk = -(-chunk // (8 * 128)) * (8 * 128)
     block_rows = min(512, chunk // 128)
@@ -184,11 +187,16 @@ def minimizer_stream_long(
         k_ = int(nm[ci])
         starts.append(np.asarray(mst[0, :k_], dtype=np.int64) + off)
         ends.append(np.asarray(men[0, :k_], dtype=np.int64) + off)
-        hashes.append(np.asarray(mhs[0, :k_]).view(np.uint32))
+        if wide:  # (hi, lo) int32 pair -> uint64
+            hi = np.asarray(mhs[0][0, :k_]).view(np.uint32).astype(np.uint64)
+            lo = np.asarray(mhs[1][0, :k_]).view(np.uint32).astype(np.uint64)
+            hashes.append((hi << np.uint64(32)) | lo)
+        else:
+            hashes.append(np.asarray(mhs[0, :k_]).view(np.uint32))
     return (
         np.concatenate(starts) if starts else np.zeros(0, np.int64),
         np.concatenate(ends) if ends else np.zeros(0, np.int64),
-        np.concatenate(hashes) if hashes else np.zeros(0, np.uint32),
+        np.concatenate(hashes) if hashes else np.zeros(0, hdt),
     )
 
 
@@ -214,7 +222,12 @@ def assemble_stream(
     The stream is tiled into [R, tile] rows overlapping by k-1 elements so
     the fixed-shape Pallas assembly kernel (ops/pallas/assemble_kernel.py)
     serves any M with one compile; row r's first tile-k+1 windows are the
-    stream's windows r*(tile-k+1).."""
+    stream's windows r*(tile-k+1)..  The window hash depends only on each
+    element's offset WITHIN its window, so in-row indices give the same
+    values as global stream indices.
+
+    A uint64 min_hash (H=u64 config, identity MixHash) assembles through
+    the XLA pair path on the same tiling."""
     from .pallas.assemble_kernel import assemble_kminmers_pallas
 
     M = int(min_hash.shape[0])
@@ -225,6 +238,29 @@ def assemble_stream(
         interpret = jax.default_backend() != "tpu"
     stride = tile - (k - 1)
     R = -(-nwin // stride)
+    if min_hash.dtype == np.uint64:
+        from .assemble import assemble_kminmers_mixed
+
+        rows_hi = np.zeros((R, tile), dtype=np.uint32)
+        rows_lo = np.zeros((R, tile), dtype=np.uint32)
+        for r in range(R):
+            seg = min_hash[r * stride : r * stride + tile]
+            rows_hi[r, : seg.shape[0]] = (seg >> np.uint64(32)).astype(
+                np.uint32
+            )
+            rows_lo[r, : seg.shape[0]] = (
+                seg & np.uint64(0xFFFFFFFF)
+            ).astype(np.uint32)
+        (hi, lo), rev = jax.jit(
+            assemble_kminmers_mixed, static_argnums=1
+        )((jnp.asarray(rows_hi), jnp.asarray(rows_lo)), k)
+        hi = np.asarray(hi)[:, :stride].reshape(-1)[:nwin]
+        lo = np.asarray(lo)[:, :stride].reshape(-1)[:nwin]
+        rev = np.asarray(rev)[:, :stride].reshape(-1)[:nwin]
+        return (
+            (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64),
+            rev,
+        )
     rows = np.zeros((R, tile), dtype=np.uint32)
     for r in range(R):
         seg = min_hash[r * stride : r * stride + tile]
@@ -249,13 +285,17 @@ def kminmers_long(
     variant: str = "nthash1",
     chunk: int = DEFAULT_CHUNK,
     interpret: Optional[bool] = None,
+    hash_width: int = 32,
 ) -> dict:
     """All k-min-mers of ONE long sequence as a struct-of-arrays dict
     {hash uint64, start, end, offset int64, rev bool}[n_kminmers] —
     the chunked single-chip equivalent of KminmersIterator for sequences
     beyond one launch's padded-length cap (reference semantics per mode as
     in ops/pipeline.py; src/lib.rs:89-131)."""
-    spec = PipelineSpec(l=l, k=k, density=density, mode=mode, variant=variant)
+    spec = PipelineSpec(
+        l=l, k=k, density=density, mode=mode, variant=variant,
+        hash_width=hash_width,
+    )
     if isinstance(seq, np.ndarray) and np.issubdtype(seq.dtype, np.integer):
         codes = seq.astype(np.uint8, copy=False)
     else:

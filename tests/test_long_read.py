@@ -117,3 +117,23 @@ def test_minimizer_stream_long_overflow_recovery(rng):
     assert len(st) == len(ref)
     for i, (s_, e_, h_) in enumerate(ref):
         assert (int(st[i]), int(en[i]), int(hs[i])) == (s_, e_, h_)
+
+
+@pytest.mark.parametrize("mode", ["regular", "hpc"])
+def test_long_read_u64_width(rng, mode):
+    """H=u64 through the chunked driver: 64-bit fused hash lanes with the
+    carry threaded across chunks, identity-mixhash assembly over the tiled
+    uint64 stream (reference's H=u64 compile-time config, src/lib.rs:32)."""
+    n = 9000
+    seq = "".join(rng.choice(list("AACCGGTTAAAANN"), size=n))
+    got = kminmers_long(
+        seq, l=11, k=3, density=0.05, mode=mode, chunk=2048,
+        interpret=True, hash_width=64,
+    )
+    ref = oracle_kminmers(seq, 11, 3, 0.05, HashMode(mode), 64)
+    assert len(got["hash"]) == len(ref), (mode, len(got["hash"]), len(ref))
+    for i, r in enumerate(ref):
+        assert int(got["hash"][i]) == r.hash, (mode, i)
+        assert int(got["start"][i]) == r.start, (mode, i)
+        assert int(got["end"][i]) == r.end, (mode, i)
+        assert bool(got["rev"][i]) == r.rev, (mode, i)

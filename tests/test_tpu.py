@@ -86,6 +86,7 @@ def test_u64_width_on_chip(tpu_device, ecoli_seq):
         ("regular", "nthash2", 32),
         ("hpc", "nthash2", 32),
         ("regular", "nthash1", 64),
+        ("hpc", "nthash1", 64),
     ],
 )
 def test_block_boundary_stress_on_chip(tpu_device, rng, mode, variant, width):
