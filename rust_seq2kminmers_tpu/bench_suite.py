@@ -163,6 +163,7 @@ def device_cases(size: int, steps: int):
         ("kminmers_regular_nthash2_l45", dict(l=45, variant="nthash2")),
         ("kminmers_hpc_l100_k5", dict(l=100, mode="hpc")),
         ("kminmers_regular_u64_l31", dict(l=31, hash_width=64)),
+        ("kminmers_regular_u16_l31", dict(l=31, hash_width=16)),
     ]
     for name, kw in ext_cases:
         spec = PipelineSpec(

@@ -76,6 +76,15 @@ def _rol31_lane(x, amounts):
     return ((x << amounts) | _shrl(x, 31 - amounts)) & M31
 
 
+M16 = np.int32(0xFFFF)
+
+
+def _rol16_lane(x, amounts):
+    """16-bit rotate-left (H=u16 config, reference src/lib.rs:30): x in
+    [0, 2^16), amounts in [0, 16)."""
+    return ((x << amounts) | _shrl(x, 16 - amounts)) & M16
+
+
 def _rol64_lane(hi, lo, r):
     """Rotate-left mod 64 of a u64 (hi, lo) int32-lane pair by per-element
     amounts r in [0, 64): conditional word swap on bit 5, then a 32-bit
@@ -521,6 +530,17 @@ def _fused_kernel(
         fh = _rol32_lane(wf, (jnp.int32(l - 1) + r_glob) & 31)
         rh = _rol32_lane(wr, rot_f)
         h = _umin(fh, rh)
+    elif width == 16:
+        # H = u16 config (reference src/lib.rs:30): same algebra mod 16 on
+        # low-half lanes (values stay < 2^16 through the XOR ladder).
+        rot_f = (-r_glob) & 15
+        a_f = _rol16_lane(_seed_tree(seed_f, ecode), rot_f)
+        a_r = _rol16_lane(_seed_tree(seed_r, ecode), r_glob & 15)
+        wf = _sliding_window_xor_flat(a_f, l)
+        wr = _sliding_window_xor_flat(a_r, l)
+        fh = _rol16_lane(wf, (jnp.int32(l - 1) + r_glob) & 15)
+        rh = _rol16_lane(wr, rot_f)
+        h = _umin(fh, rh)
     elif width == 64:
         # H = u64 config (reference src/lib.rs:32): identical XOR-scan
         # algebra on (hi, lo) int32 pairs — every rotate becomes a
@@ -872,8 +892,10 @@ def fused_minimizer_scan(
     if pend0 is None:
         pend0 = jnp.zeros((B, 8, LANES), dtype=I32)
 
-    if hash_width not in (32, 64):
-        raise ValueError(f"fused kernel hash_width must be 32/64, got {hash_width}")
+    if hash_width not in (16, 32, 64):
+        raise ValueError(
+            f"fused kernel hash_width must be 16/32/64, got {hash_width}"
+        )
     seed_f_hi = seed_r_hi = None
     if variant == "nthash2":
         from ...constants import seed_tables_nthash2_31
@@ -882,6 +904,13 @@ def fused_minimizer_scan(
             raise ValueError("nthash2 variant requires hash_width=32")
         seed_f, seed_r = seed_tables_nthash2_31()
         width = 31
+    elif hash_width == 16:
+        from ...constants import seed_tables
+
+        f16, r16 = seed_tables(16)
+        seed_f = f16.astype(np.uint32)
+        seed_r = r16.astype(np.uint32)
+        width = 16
     elif hash_width == 64:
         from ...constants import seed_tables
 

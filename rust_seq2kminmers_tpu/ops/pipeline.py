@@ -185,7 +185,7 @@ def kminmer_pipeline(
             and jax.default_backend() == "tpu"
         )
         or spec.compaction == "fused_interpret"
-    ) and 2 <= l <= 255 and spec.hash_width in (32, 64)
+    ) and 2 <= l <= 255 and spec.hash_width in (16, 32, 64)
     if use_fused:
         return _fused_pipeline(codes, lengths, spec)
 
@@ -449,11 +449,16 @@ def _fused_pipeline(
         )
         min_hash_hi = jnp.zeros_like(min_hash)
 
-        from .pallas.assemble_kernel import assemble_kminmers_pallas
+        if spec.hash_width == 16:
+            (kh_hi, kh_lo), rev = assemble_kminmers_mixed(
+                mix64_murmur_from_u16(min_hash), k
+            )
+        else:
+            from .pallas.assemble_kernel import assemble_kminmers_pallas
 
-        (kh_hi, kh_lo), rev = assemble_kminmers_pallas(
-            min_hash, k, interpret=interpret
-        )
+            (kh_hi, kh_lo), rev = assemble_kminmers_pallas(
+                min_hash, k, interpret=interpret
+            )
     mk = m_cap - k + 1
     n_km = jnp.maximum(n_min - (k - 1), 0)
     w = jnp.arange(mk, dtype=I32)[None, :]

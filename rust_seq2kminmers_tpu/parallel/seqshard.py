@@ -190,23 +190,31 @@ def _seq_sharded_body(codes, lengths, *, spec: PipelineSpec, S: int,
         rows_out=rows_out,
         base0=base,
         pend0=pend0,
+        hash_width=spec.hash_width,
     )
     m_cap_s = max(-(-m_cap // S), k)
     mst, men, mhs, n_min_s, n_raw_s = _phase2_compact(
         st, en, hs, counts, m_cap_s, emit_end, l, interpret
     )
+    wide = spec.hash_width == 64
+    hcols_s = list(mhs) if wide else [mhs]  # [hi, lo] | [h]
     # Rebase this shard's survivor positions to global coordinates.
     iv = jnp.arange(m_cap_s, dtype=I32)[None, :]
     ok = iv < n_min_s[:, None]
     mst = jnp.where(ok, mst + s * C, 0)
     men = jnp.where(ok, men + s * C, 0)
-    mhs = jnp.where(ok, mhs, 0)
+    hcols_s = [jnp.where(ok, c, 0) for c in hcols_s]
 
     # Splice the per-shard compacted streams in shard order (second tiny
     # collective: ~density-sized, vs the base stream that never moves).
-    g_st = jax.lax.all_gather(mst, "seq").transpose(1, 0, 2).reshape(Bl, -1)
-    g_en = jax.lax.all_gather(men, "seq").transpose(1, 0, 2).reshape(Bl, -1)
-    g_hs = jax.lax.all_gather(mhs, "seq").transpose(1, 0, 2).reshape(Bl, -1)
+    def _g(x):
+        return jax.lax.all_gather(x, "seq").transpose(1, 0, 2).reshape(
+            Bl, -1
+        )
+
+    g_st = _g(mst)
+    g_en = _g(men)
+    g_hs = [_g(c) for c in hcols_s]
     g_n = jax.lax.all_gather(n_min_s, "seq")  # [S, Bl]
     g_raw = jax.lax.all_gather(n_raw_s, "seq")
     seg_valid = (
@@ -214,22 +222,43 @@ def _seq_sharded_body(codes, lengths, *, spec: PipelineSpec, S: int,
         < g_n.transpose(1, 0)[:, :, None]
     ).reshape(Bl, -1)
     packed, n_tot = compact(
-        seg_valid, [g_st, g_en, g_hs], m_cap, [I32(0)] * 3,
-        method="bsearch",
+        seg_valid, [g_st, g_en] + g_hs, m_cap,
+        [I32(0)] * (2 + len(g_hs)), method="bsearch",
     )
-    min_start, min_end, min_hash_i = packed
+    min_start, min_end, *h_packed = packed
     n_raw = g_raw.sum(axis=0).astype(I32)
     n_min = jnp.minimum(n_tot, m_cap).astype(I32)
     valid = jnp.arange(m_cap, dtype=I32)[None, :] < n_min[:, None]
     min_hash = jnp.where(
-        valid, jax.lax.bitcast_convert_type(min_hash_i, U32), U32(0)
+        valid, jax.lax.bitcast_convert_type(h_packed[-1], U32), U32(0)
+    )
+    min_hash_hi = (
+        jnp.where(
+            valid, jax.lax.bitcast_convert_type(h_packed[0], U32), U32(0)
+        )
+        if wide
+        else jnp.zeros_like(min_hash)
     )
 
-    from ..ops.pallas.assemble_kernel import assemble_kminmers_pallas
+    if wide:  # identity MixHash, pair window hash (src/lib.rs:171-177)
+        from ..ops.assemble import assemble_kminmers_mixed
 
-    (kh_hi, kh_lo), rev = assemble_kminmers_pallas(
-        min_hash, k, interpret=interpret
-    )
+        (kh_hi, kh_lo), rev = assemble_kminmers_mixed(
+            (min_hash_hi, min_hash), k
+        )
+    elif spec.hash_width == 16:
+        from ..ops.assemble import assemble_kminmers_mixed
+        from ..ops.u64 import mix64_murmur_from_u16
+
+        (kh_hi, kh_lo), rev = assemble_kminmers_mixed(
+            mix64_murmur_from_u16(min_hash), k
+        )
+    else:
+        from ..ops.pallas.assemble_kernel import assemble_kminmers_pallas
+
+        (kh_hi, kh_lo), rev = assemble_kminmers_pallas(
+            min_hash, k, interpret=interpret
+        )
     mk = m_cap - k + 1
     n_km = jnp.maximum(n_min - (k - 1), 0)
     w = jnp.arange(mk, dtype=I32)[None, :]
@@ -243,7 +272,7 @@ def _seq_sharded_body(codes, lengths, *, spec: PipelineSpec, S: int,
         rev=km_valid & rev,
         n_kminmers=n_km,
         min_hash=min_hash,
-        min_hash_hi=jnp.zeros_like(min_hash),
+        min_hash_hi=min_hash_hi,
         min_start=min_start,
         min_end=min_end,
         n_minimizers=n_min,
@@ -258,12 +287,12 @@ def make_seq_pipeline(spec: PipelineSpec, mesh: Mesh):
 
     L must be divisible by mesh.shape['seq'] * 1024 (each shard's chunk
     must tile into whole kernel blocks); every per-read output is
-    replicated over 'seq' and sharded over 'data'.  Requires
-    hash_width=32 (the fused path).  Overflow is reported, not retried:
-    callers check n_minimizers_raw vs n_minimizers like kminmers_batch.
+    replicated over 'seq' and sharded over 'data'.  Supports every fused
+    hash width (u16/u32/u64).  Overflow is reported, not retried: callers
+    check n_minimizers_raw vs n_minimizers like kminmers_batch.
     """
-    if spec.hash_width != 32:
-        raise ValueError("sequence-sharded fused path is 32-bit-lane only")
+    if spec.hash_width not in (16, 32, 64):
+        raise ValueError("sequence-sharded path needs hash_width 16/32/64")
     S = mesh.shape["seq"]
     interpret = jax.devices()[0].platform != "tpu"
 

@@ -256,3 +256,45 @@ def test_fused_pipeline_u64_lanes(rng, mode):
                 int(out.end[b, i]),
                 bool(out.rev[b, i]),
             ) == (r.hash, r.start, r.end, r.rev), (mode, b, i)
+
+
+@pytest.mark.parametrize("mode", ["regular", "hpc"])
+def test_fused_pipeline_u16_lanes(rng, mode):
+    """hash_width=16 through the fused kernel (16-bit rotates on low-half
+    lanes; murmur MixHash at assembly — the reference's H=u16 config,
+    src/lib.rs:30,142-155) against the oracle."""
+    codes, lengths, seqs = _batch(rng, B=2, L=4096, alphabet="AACCGGTTAANN")
+    spec = PipelineSpec(
+        l=9,
+        k=3,
+        density=0.02,
+        mode=mode,
+        hash_width=16,
+        max_minimizers=512,
+        compaction="fused_interpret",
+    )
+    out = jax.jit(lambda c, n: kminmer_pipeline(c, n, spec))(
+        jnp.asarray(codes), jnp.asarray(lengths)
+    )
+    for b in range(2):
+        nm = int(out.n_minimizers[b])
+        ref_min = minimizers(seqs[b], 9, 0.02, HashMode(mode), hash_width=16)
+        assert nm == len(ref_min), (mode, b)
+        assert [int(x) for x in np.asarray(out.min_hash[b, :nm])] == [
+            h for (_, _, h) in ref_min
+        ]
+        nk = int(out.n_kminmers[b])
+        h = to_py_u64(
+            (np.asarray(out.hash_hi[b, :nk]), np.asarray(out.hash_lo[b, :nk]))
+        )
+        ref = oracle_kminmers(
+            seqs[b], 9, 3, 0.02, HashMode(mode), hash_width=16
+        )
+        assert nk == len(ref)
+        for i, r in enumerate(ref):
+            assert (
+                int(h[i]),
+                int(out.start[b, i]),
+                int(out.end[b, i]),
+                bool(out.rev[b, i]),
+            ) == (r.hash, r.start, r.end, r.rev), (mode, b, i)

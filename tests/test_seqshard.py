@@ -121,3 +121,34 @@ def test_seq_sharded_rejects_misaligned_length():
                 jnp.zeros((2, 2048), dtype=jnp.uint8),
                 jnp.array([100, 100], dtype=jnp.int32),
             )
+
+
+@pytest.mark.parametrize("width,mode", [(16, "regular"), (64, "regular"), (64, "hpc")])
+def test_seq_sharded_hash_widths(rng, width, mode):
+    """u16/u64 hash widths through the sequence-sharded fused path: the
+    64-bit lanes' carry crosses 'seq' shard boundaries and the (hi, lo)
+    pair rides the splice collective; u16 assembles via the murmur mix."""
+    mesh = make_mesh(n_data=2, n_seq=4)
+    B, L = 2, 4 * 1024
+    codes, lengths, seqs = _mixed_batch(rng, B, L)
+    l, k, d = 13, 3, 0.08
+    spec = PipelineSpec(
+        l=l, k=k, density=d, mode=mode, hash_width=width,
+        compaction="fused_interpret",
+    )
+    fn = make_seq_pipeline(spec, mesh)
+    with mesh:
+        out = fn(jnp.asarray(codes), jnp.asarray(lengths))
+    for b, s in enumerate(seqs):
+        ref = oracle_kminmers(s, l, k, d, HashMode(mode), width)
+        nk = int(out.n_kminmers[b])
+        assert int(out.n_minimizers_raw[b]) == int(out.n_minimizers[b])
+        assert nk == len(ref), (width, mode, b, nk, len(ref))
+        hh = np.asarray(out.hash_hi[b, :nk]).astype(np.uint64)
+        hl = np.asarray(out.hash_lo[b, :nk]).astype(np.uint64)
+        got_h = (hh << np.uint64(32)) | hl
+        for i, r in enumerate(ref):
+            assert int(got_h[i]) == r.hash, (width, mode, b, i)
+            assert int(out.start[b, i]) == r.start, (width, mode, b, i)
+            assert int(out.end[b, i]) == r.end, (width, mode, b, i)
+            assert bool(out.rev[b, i]) == r.rev, (width, mode, b, i)
