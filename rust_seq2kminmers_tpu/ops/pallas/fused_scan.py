@@ -262,6 +262,12 @@ def _rollrows(x, sh: int):
 
 DROP = np.int32(1 << 29)  # dropped marker: all movement bits are zero
 
+# First packed-move round gated behind a runtime deficit check (see
+# move_rounds in _fused_kernel): rounds 0..GATE-1 always run; rounds
+# GATE.. run only if the block/part's dropped-element count reaches the
+# round's bit value.
+_MOVE_GATE_BIT = 11
+
 
 def _move_compact(off, cols, nbits: int):
     """Stable left-move of elements by their per-element offset `off`
@@ -415,16 +421,51 @@ def _fused_kernel(
         keep = ((main & 8) != 0) & (absj < length)
         keep_i = keep.astype(I32)
         rank = _flat_rank_inclusive(keep_i)
-        cnt = jnp.sum(keep_i)  # scalar reduction (vector->scalar extract
-        # of rank[-1, -1] is not lowerable on Mosaic)
         pos_loc = ri * LANES + li
         nb = _nbits(br * LANES)
+
+        def move_rounds(v, nbv, dmax):
+            """Bit-decomposed packed move with the HIGH rounds gated at
+            runtime: round b is an identity whenever 2^b exceeds dmax (the
+            block/part's max rank deficit = its dropped-element count,
+            monotone in position), so rounds above nbits(dmax) are skipped
+            via pl.when — worth 1-3 of the ~nbv rounds on real data (e.g.
+            random ACGT drops ~25%: bit 13 of a 14-bit in-part offset can
+            never be set).  The gated rounds stage v through ext_ref
+            (unused until the post-move carry phase)."""
+            gate = min(_MOVE_GATE_BIT, nbv)
+
+            def one_round(v, b_):
+                shv = 1 << (17 + b_)
+                v_in = _flat_shift_any(v, 1 << b_)
+                take = (v_in & shv) != 0
+                return jnp.where(
+                    take,
+                    v_in - shv,
+                    jnp.where((v & shv) == 0, v, 0),
+                )
+
+            for b_ in range(gate):
+                v = one_round(v, b_)
+            if nbv > gate:
+                ext_ref[0:br, :] = v
+                for b_ in range(gate, nbv):
+
+                    @pl.when(dmax >= (1 << b_))
+                    def _(b_=b_):
+                        ext_ref[0:br, :] = one_round(ext_ref[0:br, :], b_)
+
+                v = ext_ref[0:br, :]
+            return v
+
         if 17 + nb <= 31:
             # single-payload move: (off | code | in-block pos) packed in
             # one i32 — the compaction shifts ONE array per round instead
             # of two (off + data), ~halving the dominant HPC move cost.
             # Fields: pos 0..13, code 14..16, off 17..30; needs
             # br*LANES <= 2^14 (the pipeline uses block_rows=128 for HPC).
+            cnt = jnp.sum(keep_i)  # scalar reduction (vector->scalar
+            # extract of rank[-1, -1] is not lowerable on Mosaic)
             v = jnp.where(
                 keep,
                 ((pos_loc - (rank - 1)) << 17)
@@ -432,15 +473,7 @@ def _fused_kernel(
                 | pos_loc,
                 0,
             )
-            for b_ in range(nb):
-                shv = 1 << (17 + b_)
-                v_in = _flat_shift_any(v, 1 << b_)
-                take = (v_in & shv) != 0
-                v = jnp.where(
-                    take,
-                    v_in - shv,
-                    jnp.where((v & shv) == 0, v, 0),
-                )
+            v = move_rounds(v, nb, jnp.int32(br * LANES) - cnt)
             # pos field is the full low 14 bits (bits 0..13) regardless of
             # the block element count — masking with br*LANES-1 corrupts
             # positions whenever br*LANES is not a power of two.
@@ -453,17 +486,24 @@ def _fused_kernel(
             # with 14-bit in-part offsets (one payload array per round —
             # in-part offset <= in-part position, so elements never cross
             # backwards into the previous part and parts stay disjoint
-            # through every round), then parts-1 windowed dynamic flat
-            # shifts splice each part onto the accumulated kept prefix.
+            # through every round), then a binary tree of windowed dynamic
+            # flat shifts splices sibling kept prefixes pairwise (log2
+            # levels; the lower levels run on row-sliced sub-tiles, ~half
+            # the vector cost of parts-1 full-tile splices).
             parts = _parts_for(br)
             prow = br // parts
             pbase = prow * LANES
             pidx = ri // prow  # part index of each element's row
             pos_p = pos_loc - pidx * pbase
+            # per-part kept counts from row slices (no full-tile mask
+            # multiplies); their sum replaces the full-tile cnt reduce.
             cnt_p = [
-                jnp.sum(keep_i * (pidx == j).astype(I32))
+                jnp.sum(keep_i[j * prow : (j + 1) * prow])
                 for j in range(parts)
             ]
+            cnt = cnt_p[0]
+            for j in range(1, parts):
+                cnt = cnt + cnt_p[j]
             pref = jnp.zeros_like(rank)
             acc = jnp.int32(0)
             for j in range(1, parts):
@@ -477,15 +517,10 @@ def _fused_kernel(
                 | pos_p,
                 0,
             )
-            for b_ in range(_nbits(pbase)):
-                shv = 1 << (17 + b_)
-                v_in = _flat_shift_any(v, 1 << b_)
-                take = (v_in & shv) != 0
-                v = jnp.where(
-                    take,
-                    v_in - shv,
-                    jnp.where((v & shv) == 0, v, 0),
-                )
+            cmin = cnt_p[0]
+            for j in range(1, parts):
+                cmin = jnp.minimum(cmin, cnt_p[j])
+            v = move_rounds(v, _nbits(pbase), jnp.int32(pbase) - cmin)
             comp = (
                 (
                     t * (br * LANES)
@@ -494,15 +529,36 @@ def _fused_kernel(
                 )
                 << 3
             ) | (_shrl(v, 14) & 7)
-            accn = cnt_p[0]
-            for j in range(1, parts):
-                spliced = _flat_shift_dyn(comp, j * pbase - accn)
-                window = (pos_loc >= accn) & (
-                    pos_loc < accn + cnt_p[j]
+            # splice tree: merge sibling prefixes pairwise
+            sizes = cnt_p
+            lvl_rows = prow
+            while len(sizes) > 1:
+                merged, nsizes = [], []
+                pair_rows = lvl_rows * 2
+                for h in range(len(sizes) // 2):
+                    sub = (
+                        comp[h * pair_rows : (h + 1) * pair_rows]
+                        if len(sizes) > 2
+                        else comp
+                    )
+                    c0, c1 = sizes[2 * h], sizes[2 * h + 1]
+                    posl = (
+                        jax.lax.broadcasted_iota(I32, sub.shape, 0) * LANES
+                        + jax.lax.broadcasted_iota(I32, sub.shape, 1)
+                    )
+                    spl = _flat_shift_dyn(sub, lvl_rows * LANES - c0)
+                    win = (posl >= c0) & (posl < c0 + c1)
+                    merged.append(jnp.where(win, spl, sub))
+                    nsizes.append(c0 + c1)
+                comp = (
+                    jnp.concatenate(merged, axis=0)
+                    if len(merged) > 1
+                    else merged[0]
                 )
-                comp = jnp.where(window, spliced, comp)
-                accn = accn + cnt_p[j]
+                sizes = nsizes
+                lvl_rows = pair_rows
         else:  # very wide blocks: classic two-array move
+            cnt = jnp.sum(keep_i)
             packed = (absj << 3) | (main & 7)
             off = jnp.where(keep, pos_loc - (rank - 1), DROP)
             (comp,) = _move_compact(off, [packed], nb)
@@ -609,15 +665,15 @@ def _fused_kernel(
     # A window is emitted by the block holding its LAST element, or its
     # ONE-PAST-LAST element when the end convention needs lookahead
     # (hpc_end: end = pos[f+l]-1, the scalar HPC iterator's convention).
+    # The four positional bounds (in-block emission window + global rank
+    # validity: r_glob = base - P0 + efl >= 0 and <= limit) are affine in
+    # efl, so they fold into ONE scalar [lo, hi] interval — two vector
+    # compares instead of four.
     f_lo = P0 - l if hpc_end else P0 - l + 1
     f_hi = P0 + cnt - l - (1 if hpc_end else 0)
-    mask = (
-        passed
-        & (efl >= f_lo)
-        & (efl <= f_hi)
-        & (r_glob >= 0)
-        & (r_glob <= limit)
-    )
+    lo_s = jnp.maximum(jnp.int32(f_lo), jnp.int32(P0) - base)
+    hi_s = jnp.minimum(f_hi, limit + (jnp.int32(P0) - base))
+    mask = passed & (efl >= lo_s) & (efl <= hi_s)
 
     # ---- per-row slot compaction ----
     raw_total = jnp.sum(mask.astype(I32))
