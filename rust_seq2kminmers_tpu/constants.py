@@ -203,11 +203,16 @@ def encode_xcodes(
     seq: bytes | str | np.ndarray, family: str = "scalar"
 ) -> np.ndarray:
     """ASCII sequence -> uint8 xcode array ((raw-byte-diff keep << 3) |
-    hash_code3).  Large non-ndarray inputs go through the native AVX-512
-    encoder (io/native/rle_kernels.h xcode_dispatch; ~10-20 GB/s vs
-    ~0.15 GB/s for the numpy fancy-index path), reading str input zero-copy
-    from its UCS1 buffer."""
-    if not isinstance(seq, np.ndarray) and len(seq) >= 4096:
+    hash_code3).  Large inputs — str (read zero-copy from the UCS1
+    buffer), bytes, and C-contiguous uint8 ndarrays (via the buffer
+    protocol) — go through the native AVX-512 encoder
+    (io/native/rle_kernels.h xcode_dispatch; ~10-20 GB/s vs ~0.15 GB/s
+    for the numpy fancy-index path)."""
+    native_ok = len(seq) >= 4096 and (
+        not isinstance(seq, np.ndarray)
+        or (seq.dtype == np.uint8 and seq.flags["C_CONTIGUOUS"])
+    )
+    if native_ok:
         try:
             from .io.native_ext import load_ext
 

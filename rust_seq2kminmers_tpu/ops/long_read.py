@@ -17,6 +17,13 @@ This lifts the fused path's per-launch padded-length cap (positions are
 packed into 29 signed bits per chunk, ops/pallas/fused_scan.py) to the
 int32 position range: sequences up to 2^31-1 bases.
 
+Host-sync discipline: the per-chunk (n_min, n_raw) counters accumulate in
+a small on-device array threaded through the carry chain, so the whole
+phase-A dispatch loop runs with ZERO host round-trips and the counters
+arrive in ONE fetch; the survivor arrays of all chunks are then fetched
+in one `jax.device_get` (plain D2H copies, no per-chunk slice launches).
+This matters on hosts with high per-launch dispatch latency.
+
 K-min-mer assembly runs at the end over the accumulated minimizer stream,
 tiled into overlapping rows (overlap k-1) so one compiled assembly kernel
 covers any stream length.
@@ -31,24 +38,39 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import XCODE_PAD, encode_xcodes, family_of_mode
+from .assemble import assemble_kminmers_mixed
 from .compact import I32
 from .pipeline import PipelineSpec, _phase2_compact, default_rows_out
+from .u64 import mix64_murmur_from_u16
 
 U32 = jnp.uint32
-DEFAULT_CHUNK = 1 << 25  # 32 Mb per launch: ~1k blocks, well under the cap
+DEFAULT_CHUNK = 1 << 26  # 64 Mb per launch (sweep: LONGREAD_r04.json)
+
+
+def _counts_cap(nchunks: int) -> int:
+    """Static capacity of the on-device per-chunk counter accumulator:
+    next power of two >= nchunks (>= 32) so the executable recompiles only
+    across pow2 buckets, not per sequence length."""
+    cap = 32
+    while cap < nchunks:
+        cap *= 2
+    return cap
 
 
 def _chunk_step(spec: PipelineSpec, chunk: int, nslots: int, rows_out: int,
-                m_cap: int, interpret: bool, block_rows: int = 256):
+                m_cap: int, interpret: bool, block_rows: int = 256,
+                counts_cap: int = 32):
     """One jitted launch: fused scan (with carry in/out) + phase-2 global
-    compaction of the chunk's survivors."""
+    compaction of the chunk's survivors.  (n_min, n_raw) are written into
+    row `ci` of the threaded `cacc` accumulator (int32[counts_cap, 2]) so
+    the host never syncs inside the chunk loop."""
     from .pallas.fused_scan import fused_minimizer_scan
 
     l = spec.l
     emit_end = spec.is_hpc
 
     @jax.jit
-    def step(codes, length_local, limit, base0, pend0):
+    def step(codes, length_local, limit, base0, pend0, cacc, ci):
         st, en, hs, counts, pend_out = fused_minimizer_scan(
             codes,
             length_local,
@@ -77,7 +99,12 @@ def _chunk_step(spec: PipelineSpec, chunk: int, nslots: int, rows_out: int,
         # the packed layout is (pos << 3) | code, so a position shift is a
         # plain subtraction on the packed values.
         pend_next = pend_out - jnp.int32(chunk << 3)
-        return mst, men, mhs, n_min, n_raw, base_next, pend_next
+        cacc = jax.lax.dynamic_update_slice(
+            cacc,
+            jnp.stack([n_min, n_raw], axis=-1).astype(I32),
+            (ci, jnp.int32(0)),
+        )
+        return mst, men, mhs, base_next, pend_next, cacc
 
     return step
 
@@ -92,10 +119,10 @@ def minimizer_stream_long(
     stream of one long sequence (positions in original space, global)."""
     n = int(codes.shape[0])
     l = spec.l
-    if spec.hash_width not in (32, 64):
-        raise ValueError("long-read streaming supports hash_width 32/64")
+    if spec.hash_width not in (16, 32, 64):
+        raise ValueError("long-read streaming supports hash_width 16/32/64")
     wide = spec.hash_width == 64
-    hdt = np.uint64 if wide else np.uint32
+    hdt = {16: np.uint16, 32: np.uint32, 64: np.uint64}[spec.hash_width]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if n <= l:
@@ -115,12 +142,14 @@ def minimizer_stream_long(
         spec.rows_out if spec.rows_out is not None
         else default_rows_out(spec.density, block_rows)
     )
+    ccap = _counts_cap(nchunks)
 
     base = jnp.zeros((1,), dtype=I32)
     pend = jnp.zeros((1, 8, 128), dtype=I32)
+    cacc = jnp.zeros((ccap, 2), dtype=I32)
     limit = jnp.full((1,), limit_g, dtype=I32)
     step = _chunk_step(
-        spec, chunk, nslots, rows_out, m_cap, interpret, block_rows
+        spec, chunk, nslots, rows_out, m_cap, interpret, block_rows, ccap
     )
 
     def chunk_input(ci):
@@ -144,14 +173,16 @@ def minimizer_stream_long(
     for ci in range(nchunks):
         buf_d, length_local = chunk_input(ci)
         carry_in = (base, pend)
-        mst, men, mhs, n_min, n_raw, base, pend = step(
-            buf_d, length_local, limit, base, pend
+        mst, men, mhs, base, pend, cacc = step(
+            buf_d, length_local, limit, base, pend, cacc,
+            jnp.int32(ci),
         )
-        per_chunk.append([mst, men, mhs, n_min, n_raw, carry_in])
+        per_chunk.append([mst, men, mhs, carry_in])
 
-    # Phase B — one sync: fetch the per-chunk counters.
-    nm = np.array([int(c[3][0]) for c in per_chunk])
-    nr = np.array([int(c[4][0]) for c in per_chunk])
+    # Phase B — one sync: fetch the accumulated per-chunk counters.
+    counts_host = np.asarray(jax.device_get(cacc))
+    nm = counts_host[:nchunks, 0].copy()
+    nr = counts_host[:nchunks, 1]
 
     # Phase C — rescue failed chunks on the lossless configuration
     # (slots=128 covers a fully-surviving row; rows_out=0 is the kernel's
@@ -164,25 +195,30 @@ def minimizer_stream_long(
         while r_cap < int(nr.max()):
             r_cap *= 2
         rstep = _chunk_step(
-            spec, chunk, 128, 0, r_cap, interpret, block_rows
+            spec, chunk, 128, 0, r_cap, interpret, block_rows, ccap
         )
+        rcacc = jnp.zeros((ccap, 2), dtype=I32)
         for ci in bad:
             buf_d, length_local = chunk_input(int(ci))
-            b0, p0 = per_chunk[ci][5]
-            mst, men, mhs, n_min, n_raw, _, _ = rstep(
-                buf_d, length_local, limit, b0, p0
+            b0, p0 = per_chunk[ci][3]
+            mst, men, mhs, _, _, rcacc = rstep(
+                buf_d, length_local, limit, b0, p0, rcacc, jnp.int32(int(ci))
             )
-            nm_i, nr_i = int(n_min[0]), int(n_raw[0])
+            per_chunk[ci][:3] = [mst, men, mhs]
+        rch = np.asarray(jax.device_get(rcacc))
+        for ci in bad:
+            nm_i, nr_i = int(rch[ci, 0]), int(rch[ci, 1])
             if nm_i < nr_i:  # pragma: no cover — lossless + exact M
                 raise RuntimeError(
                     f"chunk {ci} overflow not resolved ({nm_i} < {nr_i})"
                 )
-            per_chunk[ci][:3] = [mst, men, mhs]
             nm[ci] = nm_i
 
-    # Phase D — fetch only the valid survivor prefixes.
+    # Phase D — ONE batched fetch of every chunk's survivor arrays (plain
+    # D2H copies; prefix slicing happens on the host).
+    fetched = jax.device_get([c[:3] for c in per_chunk])
     starts, ends, hashes = [], [], []
-    for ci, (mst, men, mhs, *_rest) in enumerate(per_chunk):
+    for ci, (mst, men, mhs) in enumerate(fetched):
         off = ci * chunk
         k_ = int(nm[ci])
         starts.append(np.asarray(mst[0, :k_], dtype=np.int64) + off)
@@ -192,7 +228,8 @@ def minimizer_stream_long(
             lo = np.asarray(mhs[1][0, :k_]).view(np.uint32).astype(np.uint64)
             hashes.append((hi << np.uint64(32)) | lo)
         else:
-            hashes.append(np.asarray(mhs[0, :k_]).view(np.uint32))
+            h32 = np.asarray(mhs[0, :k_]).view(np.uint32)
+            hashes.append(h32.astype(hdt) if hdt is np.uint16 else h32)
     return (
         np.concatenate(starts) if starts else np.zeros(0, np.int64),
         np.concatenate(ends) if ends else np.zeros(0, np.int64),
@@ -210,8 +247,40 @@ def _nslots(spec: PipelineSpec) -> int:
     )
 
 
+def _tile_rows(arr: np.ndarray, R: int, stride: int, tile: int) -> np.ndarray:
+    """[M] -> contiguous [R, tile] with rows overlapping by tile - stride
+    elements (row r = arr[r*stride : r*stride + tile], zero-padded), via a
+    zero-copy strided view + one bulk copy — no per-row Python loop."""
+    need = (R - 1) * stride + tile
+    if arr.shape[0] < need:
+        arr = np.concatenate(
+            [arr, np.zeros(need - arr.shape[0], dtype=arr.dtype)]
+        )
+    it = arr.itemsize
+    view = np.lib.stride_tricks.as_strided(
+        arr, shape=(R, tile), strides=(stride * it, it), writeable=False
+    )
+    return np.ascontiguousarray(view)
+
+
+_assemble_mixed_jit = jax.jit(assemble_kminmers_mixed, static_argnums=1)
+
+
+def _assemble_mixed_tiled(rows_hi, rows_lo, k, stride, nwin):
+    (hi, lo), rev = _assemble_mixed_jit(
+        (jnp.asarray(rows_hi), jnp.asarray(rows_lo)), k
+    )
+    hi = np.asarray(hi)[:, :stride].reshape(-1)[:nwin]
+    lo = np.asarray(lo)[:, :stride].reshape(-1)[:nwin]
+    rev = np.asarray(rev)[:, :stride].reshape(-1)[:nwin]
+    return (
+        (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64),
+        rev,
+    )
+
+
 def assemble_stream(
-    min_hash: np.ndarray,  # uint32[M] minimizer hashes, in order
+    min_hash: np.ndarray,  # uint16/32/64[M] minimizer hashes, in order
     k: int,
     interpret: Optional[bool] = None,
     tile: int = 8192,
@@ -226,8 +295,9 @@ def assemble_stream(
     element's offset WITHIN its window, so in-row indices give the same
     values as global stream indices.
 
-    A uint64 min_hash (H=u64 config, identity MixHash) assembles through
-    the XLA pair path on the same tiling."""
+    Per-width MixHash (src/lib.rs:137-177): u32 xorshift (fused into the
+    Pallas kernel), u16 murmur finalizer, u64 identity — the latter two
+    assemble through the XLA pair path on the same tiling."""
     from .pallas.assemble_kernel import assemble_kminmers_pallas
 
     M = int(min_hash.shape[0])
@@ -239,32 +309,15 @@ def assemble_stream(
     stride = tile - (k - 1)
     R = -(-nwin // stride)
     if min_hash.dtype == np.uint64:
-        from .assemble import assemble_kminmers_mixed
-
-        rows_hi = np.zeros((R, tile), dtype=np.uint32)
-        rows_lo = np.zeros((R, tile), dtype=np.uint32)
-        for r in range(R):
-            seg = min_hash[r * stride : r * stride + tile]
-            rows_hi[r, : seg.shape[0]] = (seg >> np.uint64(32)).astype(
-                np.uint32
-            )
-            rows_lo[r, : seg.shape[0]] = (
-                seg & np.uint64(0xFFFFFFFF)
-            ).astype(np.uint32)
-        (hi, lo), rev = jax.jit(
-            assemble_kminmers_mixed, static_argnums=1
-        )((jnp.asarray(rows_hi), jnp.asarray(rows_lo)), k)
-        hi = np.asarray(hi)[:, :stride].reshape(-1)[:nwin]
-        lo = np.asarray(lo)[:, :stride].reshape(-1)[:nwin]
-        rev = np.asarray(rev)[:, :stride].reshape(-1)[:nwin]
-        return (
-            (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64),
-            rev,
-        )
-    rows = np.zeros((R, tile), dtype=np.uint32)
-    for r in range(R):
-        seg = min_hash[r * stride : r * stride + tile]
-        rows[r, : seg.shape[0]] = seg
+        tiled = _tile_rows(min_hash, R, stride, tile)
+        rows_hi = (tiled >> np.uint64(32)).astype(np.uint32)
+        rows_lo = (tiled & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        return _assemble_mixed_tiled(rows_hi, rows_lo, k, stride, nwin)
+    if min_hash.dtype == np.uint16:
+        rows16 = _tile_rows(min_hash, R, stride, tile).astype(np.uint32)
+        (mhi, mlo) = jax.jit(mix64_murmur_from_u16)(jnp.asarray(rows16))
+        return _assemble_mixed_tiled(mhi, mlo, k, stride, nwin)
+    rows = _tile_rows(min_hash.astype(np.uint32, copy=False), R, stride, tile)
     (hi, lo), rev = assemble_kminmers_pallas(
         jnp.asarray(rows), k, interpret=interpret
     )
@@ -291,7 +344,9 @@ def kminmers_long(
     {hash uint64, start, end, offset int64, rev bool}[n_kminmers] —
     the chunked single-chip equivalent of KminmersIterator for sequences
     beyond one launch's padded-length cap (reference semantics per mode as
-    in ops/pipeline.py; src/lib.rs:89-131)."""
+    in ops/pipeline.py; src/lib.rs:89-131).  Supports every hash width the
+    batch pipeline does (16/32/64; SIMD modes are u32-only, validated by
+    PipelineSpec)."""
     spec = PipelineSpec(
         l=l, k=k, density=density, mode=mode, variant=variant,
         hash_width=hash_width,

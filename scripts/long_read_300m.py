@@ -2,14 +2,18 @@
 
 Runs ONE synthetic 300 Mbp read through ops/long_read.py on the TPU
 (lifting the single-launch padded-length cap via the kernel carry), and
-validates three ways:
-  1. chunk-size invariance of the full minimizer stream (16M vs 32M chunks
-     exercise different chunk-boundary placements over the same read);
+validates four ways:
+  1. chunk-size invariance of the full minimizer stream (64M vs 128M
+     chunks exercise different chunk-boundary placements over the same
+     read);
   2. bit-exact oracle equality on a multi-chunk 4 Mbp slice (prefix, so
      stream prefixes coincide);
-  3. throughput of the steady-state chunk loop (GB/s).
+  3. host xcode-encode throughput (native AVX-512 path, ndarray input);
+  4. device-resident throughput of the steady-state chunk loop (GB/s) at
+     the production block geometry (block_rows=512 for hpc modes, like
+     the batch pipeline).
 
-Writes LONGREAD_r03.json at the repo root.
+Writes LONGREAD_r04.json at the repo root.
 
 Usage: python scripts/long_read_300m.py [n_mbp]
 """
@@ -64,26 +68,31 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"generating {n_mbp} Mbp synthetic read ...", flush=True)
     raw = synth_read(n)
-    t0 = time.perf_counter()
-    codes = encode_xcodes(raw, "simd")
-    t_enc = time.perf_counter() - t0
+    t_enc = None
+    for _ in range(3):  # warm: the first call compiles/loads the C ext
+        t0 = time.perf_counter()
+        codes = encode_xcodes(raw, "simd")
+        dt = time.perf_counter() - t0
+        t_enc = dt if t_enc is None else min(t_enc, dt)
     print(f"host encode: {n / t_enc / 1e9:.2f} GB/s", flush=True)
 
     # Device-resident streaming rate: the chunk step (fused scan + carry +
     # phase-2 compaction) under lax.scan, one sync per 8 chunks — the rate
     # the hardware sustains when the host/tunnel is out of the picture
     # (the axon tunnel adds ~0.3-0.4 s latency PER LAUNCH; a co-located
-    # host would pay ~100 us).
-    import jax
+    # host would pay ~100 us).  Uses the production block geometry
+    # (block_rows=512 for hpc modes — ops/pipeline.py picks the same).
     import jax.numpy as jnp
 
     from rust_seq2kminmers_tpu.ops.long_read import _chunk_step, _nslots
     from rust_seq2kminmers_tpu.ops.pipeline import default_rows_out
 
-    cdev = 1 << 25
+    cdev = 1 << 26
+    br = 512
     m_dev = spec.capacity_for(cdev)
     stepd = _chunk_step(
-        spec, cdev, _nslots(spec), default_rows_out(d, 256), m_dev, False
+        spec, cdev, _nslots(spec), default_rows_out(d, br), m_dev, False,
+        block_rows=br, counts_cap=32,
     )
     buf = jnp.asarray(codes[None, :cdev])
     I32 = jnp.int32
@@ -94,18 +103,20 @@ def main():
     @jax.jit
     def unit(buf):
         def body(carry, i):
-            acc, b0, p0 = carry
-            mst, men, mhs, n_min, n_raw, b1, p1 = stepd(
-                jnp.roll(buf, i, axis=1), ll, lim, b0, p0
+            acc, b0, p0, cacc = carry
+            mst, men, mhs, b1, p1, cacc = stepd(
+                jnp.roll(buf, i, axis=1), ll, lim, b0, p0, cacc, i
             )
-            return (acc + n_min.sum() + mst[0, 0], b1, p1), None
+            nm = cacc[jnp.minimum(i, 31), 0]
+            return (acc + nm + mst[0, 0], b1, p1, cacc), None
 
         init = (
             jnp.int32(0),
             jnp.zeros((1,), I32),
             jnp.zeros((1, 8, 128), I32),
+            jnp.zeros((32, 2), I32),
         )
-        (acc, _, _), _ = jax.lax.scan(
+        (acc, _, _, _), _ = jax.lax.scan(
             body, init, jnp.arange(STEPS, dtype=jnp.int32)
         )
         return acc
@@ -121,7 +132,7 @@ def main():
 
     results = {}
     streams = {}
-    for chunk in (1 << 27, 1 << 26):
+    for chunk in (1 << 26, 1 << 27, 1 << 28):
         t0 = time.perf_counter()
         st, en, hs = minimizer_stream_long(codes, spec, chunk=chunk)
         dt = time.perf_counter() - t0
@@ -139,12 +150,14 @@ def main():
         print(f"chunk={chunk >> 20}M: {len(st)} minimizers, "
               f"warm {n / dt_warm / 1e9:.2f} GB/s", flush=True)
 
-    a, b = streams.values()
+    a, b = streams[1 << 26], streams[1 << 27]
     inv = (
         len(a[0]) == len(b[0])
-        and np.array_equal(a[0], b[0])
-        and np.array_equal(a[1], b[1])
-        and np.array_equal(a[2], b[2])
+        and all(
+            np.array_equal(a[i], s[i])
+            for s in streams.values()
+            for i in range(3)
+        )
     )
     print(f"chunk-size invariance: {'OK' if inv else 'MISMATCH'}")
 
@@ -174,6 +187,7 @@ def main():
         "density": d,
         "host_encode_gb_s": round(n / t_enc / 1e9, 3),
         "device_resident_gb_s": round(dev_gbs, 3),
+        "device_resident_steps_per_sync": STEPS,
         "chunk_invariance": bool(inv),
         "oracle_4mbp_prefix": bool(oracle_ok),
         "note": "end-to-end rates include the axon tunnel's ~0.3-0.4 s "
@@ -182,7 +196,7 @@ def main():
         "picture (co-located hosts pay ~100 us/launch over PCIe)",
         **results,
     }
-    path = Path(__file__).resolve().parents[1] / "LONGREAD_r03.json"
+    path = Path(__file__).resolve().parents[1] / "LONGREAD_r04.json"
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
     if not (inv and oracle_ok):

@@ -120,6 +120,26 @@ def test_minimizer_stream_long_overflow_recovery(rng):
 
 
 @pytest.mark.parametrize("mode", ["regular", "hpc"])
+def test_long_read_u16_width(rng, mode):
+    """H=u16 through the chunked driver (the reference's u16 compile-time
+    config, src/lib.rs:30): 16-bit fused hash lanes, murmur-finalizer
+    MixHash (src/lib.rs:142-155) over the tiled stream."""
+    n = 9000
+    seq = "".join(rng.choice(list("AACCGGTTAAAANN"), size=n))
+    got = kminmers_long(
+        seq, l=11, k=3, density=0.05, mode=mode, chunk=2048,
+        interpret=True, hash_width=16,
+    )
+    ref = oracle_kminmers(seq, 11, 3, 0.05, HashMode(mode), 16)
+    assert len(got["hash"]) == len(ref), (mode, len(got["hash"]), len(ref))
+    for i, r in enumerate(ref):
+        assert int(got["hash"][i]) == r.hash, (mode, i)
+        assert int(got["start"][i]) == r.start, (mode, i)
+        assert int(got["end"][i]) == r.end, (mode, i)
+        assert bool(got["rev"][i]) == r.rev, (mode, i)
+
+
+@pytest.mark.parametrize("mode", ["regular", "hpc"])
 def test_long_read_u64_width(rng, mode):
     """H=u64 through the chunked driver: 64-bit fused hash lanes with the
     carry threaded across chunks, identity-mixhash assembly over the tiled
