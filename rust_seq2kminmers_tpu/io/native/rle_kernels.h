@@ -19,6 +19,7 @@
 
 #include <algorithm>
 #include <array>
+#include <cassert>
 #include <cstdint>
 #include <thread>
 #include <vector>
@@ -151,14 +152,15 @@ int64_t rle_avx512(const uint8_t* seq, int64_t i0, int64_t i1,
               _mm512_add_epi64(
                   base, _mm512_cvtepu32_epi64(
                             _mm512_castsi512_si256(cr))));
-          int pc = __builtin_popcount(kq);
-          if (pc > 8)
-            _mm512_storeu_si512(
-                reinterpret_cast<int64_t*>(out_pos) + mq + 8,
-                _mm512_add_epi64(
-                    base, _mm512_cvtepu32_epi64(
-                              _mm512_extracti64x4_epi64(cr, 1))));
-          mq += pc;
+          // second half stored unconditionally (overshoot stays inside the
+          // still-owned m_cap region; a data-dependent branch here
+          // mispredicts ~half the time at genomic keep rates)
+          _mm512_storeu_si512(
+              reinterpret_cast<int64_t*>(out_pos) + mq + 8,
+              _mm512_add_epi64(
+                  base, _mm512_cvtepu32_epi64(
+                            _mm512_extracti64x4_epi64(cr, 1))));
+          mq += __builtin_popcount(kq);
         }
       }
       m = mq;
@@ -275,11 +277,22 @@ void rle_store(const RlePlan& plan, const uint8_t* seq, int64_t n,
       std::vector<std::thread> pool;
       for (int64_t t = 1; t < nthreads; t++)
         pool.emplace_back([&, t] {
-          rle_avx512<PosT>(seq, plan.lo[t], plan.lo[t + 1], collapse_any,
-                           out_chars, out_pos, plan.base[t], cap(t));
+          int64_t m = rle_avx512<PosT>(seq, plan.lo[t], plan.lo[t + 1],
+                                       collapse_any, out_chars, out_pos,
+                                       plan.base[t], cap(t));
+          // The fast path's 64-element overshoot is safe ONLY because the
+          // count pass (rle_count_avx512) and this store pass derive the
+          // same keep mask, so each chunk's final m lands exactly on its
+          // cap; pin that invariant so any drift between the two passes
+          // fails loudly instead of stomping a neighbour chunk's output.
+          assert(m == cap(t));
+          (void)m;
         });
-      rle_avx512<PosT>(seq, plan.lo[0], plan.lo[1], collapse_any, out_chars,
-                       out_pos, plan.base[0], cap(0));
+      int64_t m0 = rle_avx512<PosT>(seq, plan.lo[0], plan.lo[1],
+                                    collapse_any, out_chars, out_pos,
+                                    plan.base[0], cap(0));
+      assert(m0 == cap(0));
+      (void)m0;
       for (auto& th : pool) th.join();
       return;
     }
