@@ -6,9 +6,9 @@ Headline metric mirrors the reference's criterion setup (throughput in
 bytes/s over the full KminmersIterator pipeline, reference
 benches/bench.rs:95-124) but at production batch sizes: 32 reads x 1 Mbp,
 l=31, k=5, d=0.01, hpcsimd (the reference's fastest mode).  vs_baseline is
-against the reference's published best single-thread number for the same
-full pipeline (~1 GB/s SIMD NtHash bound, README.md:23; HPC alone is
-~4 GB/s there).
+the ratio against the BASELINE.json north-star target (4 GB/s/chip for the
+full HPC+NtHash pipeline); the reference's own published per-thread numbers
+are ~1 GB/s SIMD NtHash / ~4 GB/s HPC-only (README.md:23).
 
 Timing methodology: the axon tunnel to the chip has ~30 ms fixed RTT per
 host sync and `block_until_ready` can return early, so per-step host
@@ -30,7 +30,11 @@ import time
 
 import numpy as np
 
-REFERENCE_GBPS = 1.0  # reference SIMD full-pipeline per-thread throughput
+# vs_baseline denominator: the BASELINE.json north-star target of
+# >= 4 GB/s/chip for the full HPC+NtHash pipeline (the reference's own
+# published per-thread numbers are ~1 GB/s SIMD NtHash / ~4 GB/s HPC-only,
+# reference README.md:23 — the 4.0 target is the stricter bar).
+TARGET_GBPS = 4.0
 
 
 def main():
@@ -115,7 +119,7 @@ def main():
         "metric": "hpc_nthash_kminmers_throughput",
         "value": round(gbps, 3),
         "unit": "GB/s/chip",
-        "vs_baseline": round(gbps / REFERENCE_GBPS, 3),
+        "vs_baseline": round(gbps / TARGET_GBPS, 3),
         "detail": {
             "mode": "hpcsimd",
             "l": 31,

@@ -119,6 +119,7 @@ def device_cases(size: int, steps: int):
             "unit": "GB/s/chip",
             "step_ms": round(dt * 1e3, 3),
             "batch": [B, L],
+            "steps_per_sync": steps,
             "backend": str(jax.devices()[0]),
         }
         if extra:
