@@ -1,15 +1,32 @@
-"""Time-to-first-result benchmark: CLI wall-clock on the golden fixture.
+"""Time-to-first-result benchmark: CLI wall-clock trajectory on the golden
+fixture.
 
 The reference binary starts instantly (reference src/main.rs:50-83); the
 TPU framework pays Python + JAX/tunnel init + per-shape compile.  This
-script measures the full CLI subprocess wall-clock three ways and writes
-BENCH_STARTUP_r{N}.json:
+script measures the full CLI subprocess wall-clock over FOUR consecutive
+runs from an EMPTY persistent compile cache (not just cold/warm: the r3
+artifact hid a slow second run), plus the in-process steady-state batch
+latency, and writes BENCH_STARTUP_r{N}.json.
 
-  * cold  — fresh persistent compile cache (rm -rf $RS2K_JAX_CACHE)
-  * warm  — persistent cache populated (second run)
-  * steady— in-process per-batch latency (compile already paid)
+What the trajectory means (measured r4, tunnel-served chip):
+  run 1  — XLA compile (server-side; seconds when the service has the
+           program cached, minutes when it must compile fresh under
+           congestion) + first execution; writes the local persistent
+           cache.
+  run 2  — local persistent cache HIT (compile ~0.15 s), but the FIRST
+           EXECUTION of the cache-deserialized executable pays a
+           server-side program-load cost (measured 13-200 s depending on
+           service state).  This is the dominant second-run term — NOT
+           lazily compiled shapes: JAX_LOG_COMPILES shows exactly one
+           compile, cache-hit, in run 2.
+  run 3+ — the service has the program warm; a run is Python import +
+           tunnel session + one batch (~2-5 s).
 
-Run:  python scripts/bench_startup.py [--round N]
+Anything in-tree can fix is fixed (one program per bucket shape, no lazy
+shapes, occupancy-clamped buckets); the run-1/run-2 costs are
+service-side program processing, reported honestly below.
+
+Run:  python scripts/bench_startup.py [--round N] [--runs 4]
 """
 
 from __future__ import annotations
@@ -28,7 +45,8 @@ FIXTURE = REPO / "tests" / "data" / "ecoli.genome.100k.fa"
 sys.path.insert(0, str(REPO))
 
 
-def run_cli(env) -> float:
+def run_cli(env) -> tuple[float, float]:
+    """-> (subprocess wall seconds, in-CLI stream seconds)."""
     t0 = time.perf_counter()
     r = subprocess.run(
         [sys.executable, "-m", "rust_seq2kminmers_tpu", str(FIXTURE), "2"],
@@ -41,23 +59,31 @@ def run_cli(env) -> float:
     dt = time.perf_counter() - t0
     if r.returncode != 0 or "1942 k-min-mers" not in r.stdout:
         raise RuntimeError(f"CLI failed/incorrect:\n{r.stdout}\n{r.stderr}")
-    return dt
+    stream_s = None
+    for ln in r.stdout.splitlines():
+        if "FASTA to kminmers in " in ln:
+            stream_s = float(ln.split("FASTA to kminmers in ")[1].split("s:")[0])
+    return dt, stream_s
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=3)
+    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--runs", type=int, default=4)
     args = ap.parse_args()
 
     cache = os.path.expanduser("~/.cache/rs2k_jax_startup_bench")
     env = dict(os.environ, RS2K_JAX_CACHE=cache, JAX_PLATFORMS="")
 
     shutil.rmtree(cache, ignore_errors=True)
-    cold = run_cli(env)
-    warm = run_cli(env)
+    runs = []
+    for i in range(args.runs):
+        wall, stream_s = run_cli(env)
+        runs.append({"wall_s": round(wall, 2), "stream_s": round(stream_s, 2)})
+        print(f"run {i + 1}: wall={wall:.1f}s stream={stream_s:.1f}s",
+              flush=True)
 
     # steady-state: per-batch latency once compiled, in-process
-    t0 = time.perf_counter()
     from rust_seq2kminmers_tpu.io.stream import stream_file
     from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec
     from rust_seq2kminmers_tpu.runtime import enable_compile_cache
@@ -69,18 +95,34 @@ def main():
     st = stream_file(str(FIXTURE), spec)
     steady = time.perf_counter() - t0
 
+    walls = [r["wall_s"] for r in runs]
+    anomalies = []
+    for i in range(2, len(walls)):
+        if walls[i] > walls[i - 1] * 1.5:
+            anomalies.append(
+                f"run {i + 1} ({walls[i]}s) > 1.5x run {i} ({walls[i - 1]}s)"
+            )
+    if len(walls) >= 2 and walls[1] > walls[0]:
+        anomalies.append(
+            f"run 2 ({walls[1]}s) slower than cold run 1 ({walls[0]}s): "
+            "first execution of the cache-deserialized executable pays a "
+            "server-side program-load cost (see module docstring)"
+        )
+
     out = {
         "fixture": "tests/data/ecoli.genome.100k.fa (99,925 bp, 1 record)",
-        "cli_cold_s": round(cold, 2),
-        "cli_warm_s": round(warm, 2),
+        "trajectory_from_empty_cache": runs,
         "steady_stream_s": round(steady, 3),
         "kminmers": st.total_kminmers,
+        "anomalies": anomalies,
         "note": (
-            "cold = fresh persistent compile cache; per-shape compile is "
-            "1.5-3s when the TPU service is idle but was observed at "
-            "90-370s under server-side congestion — the occupancy-clamped "
-            "bucket planner (io/stream.py plan_buckets) keeps small files "
-            "on small shapes either way"
+            "four consecutive CLI runs from an empty persistent cache; "
+            "run-2 cost is the service-side load of the cached "
+            "executable's first execution (JAX_LOG_COMPILES confirms a "
+            "0.15 s cache-hit compile), runs 3+ are the steady door-to-"
+            "door floor. Server-side compile (run 1) is 3-5 s when the "
+            "service is idle and was observed at 90-390 s under "
+            "congestion for a never-before-seen program."
         ),
     }
     path = REPO / f"BENCH_STARTUP_r{args.round:02d}.json"

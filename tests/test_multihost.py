@@ -17,6 +17,19 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# The one 2-process session runs THREE pipeline configs back to back —
+# the r3 matrix only covered regular/hpcsimd at u32/nthash1; this adds the
+# hpc mode + H=u64 config (reference src/lib.rs:32) and the NtHash2-31
+# l>31 variant (src/nthash2_avx512_32.rs) through the full distributed
+# driver (per-host packing, global mesh, counts collective, ordered
+# parts + manifest).
+WORKER_CONFIGS = [
+    # (subdir, mode, l, k, density, hash_width, variant)
+    ("hpcsimd_u32", "hpcsimd", 9, 3, 0.05, 32, "nthash1"),
+    ("hpc_u64", "hpc", 9, 3, 0.05, 64, "nthash1"),
+    ("regular_nthash2_l45", "regular", 45, 2, 0.05, 32, "nthash2"),
+]
+
 WORKER = r"""
 import os, sys
 pid = int(sys.argv[1])
@@ -35,11 +48,15 @@ from rust_seq2kminmers_tpu.parallel.multihost import run_file_distributed
 from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec
 
 assert jax.process_count() == 2 and len(jax.devices()) == 8
-spec = PipelineSpec(l=9, k=3, density=0.05, mode="hpcsimd")
-chunks = run_file_distributed(
-    fasta, spec, rows_per_device=2, out_dir=out_dir
-)
-print(f"worker {pid} ok: {sum(len(c.records['hash']) for c in chunks)}")
+CONFIGS = __CONFIGS__
+for sub, mode, l, k, d, hw, variant in CONFIGS:
+    spec = PipelineSpec(l=l, k=k, density=d, mode=mode, hash_width=hw,
+                        variant=variant)
+    chunks = run_file_distributed(
+        fasta, spec, rows_per_device=2, out_dir=os.path.join(out_dir, sub)
+    )
+    print(f"worker {pid} {sub} ok: "
+          f"{sum(len(c.records['hash']) for c in chunks)}")
 """
 
 
@@ -112,7 +129,7 @@ def test_two_process_stream_matches_single(fasta_file, tmp_path):
     out = tmp_path / "parts"
     port = _free_port()
     wpath = tmp_path / "worker.py"
-    wpath.write_text(WORKER)
+    wpath.write_text(WORKER.replace("__CONFIGS__", repr(WORKER_CONFIGS)))
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     procs = [
@@ -124,45 +141,47 @@ def test_two_process_stream_matches_single(fasta_file, tmp_path):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o[-4000:]
 
-    # ---- reassemble the distributed stream from the per-host parts ----
-    manifest = json.loads((out / "manifest.json").read_text())
-    assert manifest["num_processes"] == 2
-    parts = sorted(out.glob("part-*.npz"))  # (batch, host) ascending
-    hashes, starts, ends, offs, reads = [], [], [], [], []
-    expected_pos = 0
-    for fp in parts:
-        z = np.load(fp)
-        assert int(z["stream_start"]) == expected_pos
-        expected_pos += len(z["hash"])
-        hashes.append(z["hash"])
-        starts.append(z["start"])
-        ends.append(z["end"])
-        offs.append(z["offset"])
-        reads.append(z["read"])
-    got = {
-        "hash": np.concatenate(hashes),
-        "start": np.concatenate(starts),
-        "end": np.concatenate(ends),
-        "offset": np.concatenate(offs),
-        "read": np.concatenate(reads),
-    }
-    assert manifest["total_kminmers"] == len(got["hash"]) == expected_pos
-
-    # ---- single-process reference: the oracle per read, in order ----
     from rust_seq2kminmers_tpu.oracle import HashMode, kminmers
 
-    p = 0
-    for i, s in enumerate(seqs):
-        ref = kminmers(s, 9, 3, 0.05, HashMode.HpcSimd)
-        for r in ref:
-            assert got["read"][p] == i
-            assert got["hash"][p] == np.uint64(r.hash)
-            assert got["start"][p] == r.start
-            assert got["end"][p] == r.end
-            assert got["offset"][p] == r.offset
-            p += 1
-    assert p == len(got["hash"])
+    for sub, mode, l, k, d, hw, variant in WORKER_CONFIGS:
+        cdir = out / sub
+        # ---- reassemble the distributed stream from the per-host parts
+        manifest = json.loads((cdir / "manifest.json").read_text())
+        assert manifest["num_processes"] == 2
+        parts = sorted(cdir.glob("part-*.npz"))  # (batch, host) ascending
+        hashes, starts, ends, offs, reads = [], [], [], [], []
+        expected_pos = 0
+        for fp in parts:
+            z = np.load(fp)
+            assert int(z["stream_start"]) == expected_pos
+            expected_pos += len(z["hash"])
+            hashes.append(z["hash"])
+            starts.append(z["start"])
+            ends.append(z["end"])
+            offs.append(z["offset"])
+            reads.append(z["read"])
+        got = {
+            "hash": np.concatenate(hashes),
+            "start": np.concatenate(starts),
+            "end": np.concatenate(ends),
+            "offset": np.concatenate(offs),
+            "read": np.concatenate(reads),
+        }
+        assert manifest["total_kminmers"] == len(got["hash"]) == expected_pos
+
+        # ---- single-process reference: the oracle per read, in order
+        p = 0
+        for i, s in enumerate(seqs):
+            ref = kminmers(s, l, k, d, HashMode(mode), hw, variant)
+            for r in ref:
+                assert got["read"][p] == i, (sub, i, p)
+                assert got["hash"][p] == np.uint64(r.hash), (sub, i, p)
+                assert got["start"][p] == r.start, (sub, i, p)
+                assert got["end"][p] == r.end, (sub, i, p)
+                assert got["offset"][p] == r.offset, (sub, i, p)
+                p += 1
+        assert p == len(got["hash"]), sub
