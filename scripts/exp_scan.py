@@ -17,7 +17,8 @@ from rust_seq2kminmers_tpu.ops.pallas.fused_scan import (
 from rust_seq2kminmers_tpu.constants import with_keep_bits, hash_bound_u32
 
 B, L = 32, 1 << 20
-STEPS = 16
+STEPS = 64  # r3 methodology fix: >= 64 steps/sync amortizes the tunnel's
+# ~28 ms fixed per-sync cost below 0.5 ms/step
 
 
 def scan_time(make_step, name):
@@ -68,8 +69,9 @@ def main():
 
     case("regular br=512 upack", do_hpc=False, emit_end=False, block_rows=512)
     case("regular br=1024 upack", do_hpc=False, emit_end=False, block_rows=1024)
-    case("regular br=2048 upack", do_hpc=False, emit_end=False, block_rows=2048)
     case("hpc br=512 4-part + end", do_hpc=True, emit_end=True, block_rows=512)
+    case("hpc br=512 4-part no-end", do_hpc=True, emit_end=False, block_rows=512)
+    case("hpc br=256 2-part + end", do_hpc=True, emit_end=True, block_rows=256)
 
 
 if __name__ == "__main__":

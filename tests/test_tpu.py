@@ -87,6 +87,8 @@ def test_u64_width_on_chip(tpu_device, ecoli_seq):
         ("hpc", "nthash2", 32),
         ("regular", "nthash1", 64),
         ("hpc", "nthash1", 64),
+        ("regular", "nthash1", 16),
+        ("hpc", "nthash1", 16),
     ],
 )
 def test_block_boundary_stress_on_chip(tpu_device, rng, mode, variant, width):
@@ -125,11 +127,14 @@ def test_block_boundary_stress_on_chip(tpu_device, rng, mode, variant, width):
         ), (mode, variant)
 
 
-@pytest.mark.parametrize("mode", ["regular", "hpcsimd"])
-def test_long_read_chunked_on_chip(tpu_device, rng, mode):
+@pytest.mark.parametrize(
+    "mode,width", [("regular", 32), ("hpcsimd", 32), ("hpc", 16)]
+)
+def test_long_read_chunked_on_chip(tpu_device, rng, mode, width):
     """The chunked long-read driver, Mosaic-lowered: a 3 Mbp read split
     into 1 Mb chunks must be record-exact vs the oracle — the on-chip
-    proof of the carry injection (base0/pend0) and carry-out rebase."""
+    proof of the carry injection (base0/pend0) and carry-out rebase.
+    Covers H=u16 (reference src/lib.rs:30) through the chunked path."""
     from rust_seq2kminmers_tpu.ops.long_read import kminmers_long
     from rust_seq2kminmers_tpu.oracle import HashMode, kminmers
 
@@ -138,8 +143,9 @@ def test_long_read_chunked_on_chip(tpu_device, rng, mode):
     for i in rng.integers(0, n - 64, size=20000):
         b[i : i + int(rng.integers(2, 12))] = b[i]
     s = "".join(b)
-    got = kminmers_long(s, 31, 5, 0.01, mode=mode, chunk=1 << 20)
-    ref = kminmers(s, 31, 5, 0.01, HashMode(mode))
+    got = kminmers_long(s, 31, 5, 0.01, mode=mode, chunk=1 << 20,
+                        hash_width=width)
+    ref = kminmers(s, 31, 5, 0.01, HashMode(mode), hash_width=width)
     assert len(got["hash"]) == len(ref) > 3000
     for i, r in enumerate(ref):
         assert (
