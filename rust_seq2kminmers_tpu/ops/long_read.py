@@ -44,7 +44,11 @@ from .pipeline import PipelineSpec, _phase2_compact, default_rows_out
 from .u64 import mix64_murmur_from_u16
 
 U32 = jnp.uint32
-DEFAULT_CHUNK = 1 << 26  # 64 Mb per launch (sweep: LONGREAD_r04.json)
+# 32 Mb per launch: the largest chunk whose phase-2 compaction stays on
+# the VMEM-resident Pallas fast path (bigger chunks work but fall back to
+# the XLA bsearch compaction — see _phase2_compact; sweep in
+# LONGREAD_r04.json).
+DEFAULT_CHUNK = 1 << 25
 
 
 def _counts_cap(nchunks: int) -> int:

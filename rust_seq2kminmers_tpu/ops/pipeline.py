@@ -326,19 +326,34 @@ def _phase2_compact(st, en, hs, counts, m_cap, emit_end, l, interpret):
         slot_cols.append(hs_hi.reshape(B, SB * 128))
     if emit_end:
         slot_cols.insert(1, en.reshape(B, SB * 128))
+    # The compacted stream can never exceed the slot count, so very large
+    # requested capacities (giant single-chunk long reads) clamp to it;
+    # columns are zero-padded back to m_cap below.
+    m_eff = min(m_cap, SB * 128)
+    # Streaming-Pallas output capacity lives whole in VMEM
+    # ((ceil(m_eff/128)+10) rows per column); past ~24 MB total the
+    # compile blows up (observed at 64 Mb chunks: m_eff ~2.8M never
+    # finished compiling), so huge capacities take the XLA bsearch path —
+    # off the hot loop, these shapes occur once per jumbo chunk.
+    mr_bytes = (-(-m_eff // 128) + 10) * 128 * 4 * (len(slot_cols) + 1)
     # Dense one-block compaction requires the whole slot row (+ working
     # copies) to fit scoped VMEM (~16 MB): gate on total live estimate.
     if SB * 128 * (len(slot_cols) + 1) * 4 * 5 <= 12 * (1 << 20):
         from .pallas.slot_compact import slot_compact
 
         packed, n_slotted = slot_compact(
-            sv, slot_cols, m_cap, interpret=interpret
+            sv, slot_cols, m_eff, interpret=interpret
         )
-        packed = [p[:, :m_cap] for p in packed]
+        packed = [p[:, :m_eff] for p in packed]
     else:
+        method = "pallas" if mr_bytes <= 24 * (1 << 20) else "bsearch"
         packed, n_slotted = compact(
-            sv, slot_cols, m_cap, [I32(0)] * len(slot_cols), method="pallas"
+            sv, slot_cols, m_eff, [I32(0)] * len(slot_cols), method=method
         )
+    if m_eff < m_cap:
+        packed = [
+            jnp.pad(p, ((0, 0), (0, m_cap - m_eff))) for p in packed
+        ]
     packed = list(packed)
     min_start = packed.pop(0)
     min_end = packed.pop(0) if emit_end else min_start + (l - 1)

@@ -87,7 +87,7 @@ def main():
     from rust_seq2kminmers_tpu.ops.long_read import _chunk_step, _nslots
     from rust_seq2kminmers_tpu.ops.pipeline import default_rows_out
 
-    cdev = 1 << 26
+    cdev = 1 << 25
     br = 512
     m_dev = spec.capacity_for(cdev)
     stepd = _chunk_step(
@@ -98,7 +98,8 @@ def main():
     I32 = jnp.int32
     ll = jnp.full((1,), cdev, I32)
     lim = jnp.full((1,), 1 << 30, I32)
-    STEPS = 8
+    STEPS = 64  # >= 64 steps/sync amortizes the tunnel's ~28 ms fixed
+    # per-sync cost below 0.5 ms/step (PROF_r03 methodology)
 
     @jax.jit
     def unit(buf):
@@ -132,7 +133,7 @@ def main():
 
     results = {}
     streams = {}
-    for chunk in (1 << 26, 1 << 27, 1 << 28):
+    for chunk in (1 << 25, 1 << 26, 1 << 27):
         t0 = time.perf_counter()
         st, en, hs = minimizer_stream_long(codes, spec, chunk=chunk)
         dt = time.perf_counter() - t0
@@ -150,7 +151,7 @@ def main():
         print(f"chunk={chunk >> 20}M: {len(st)} minimizers, "
               f"warm {n / dt_warm / 1e9:.2f} GB/s", flush=True)
 
-    a, b = streams[1 << 26], streams[1 << 27]
+    a, b = streams[1 << 25], streams[1 << 26]
     inv = (
         len(a[0]) == len(b[0])
         and all(
