@@ -66,7 +66,7 @@ def _pick_block_rows(c: int) -> int:
     )
 
 
-def _local_tail(codes, local_len, l, s, c, do_hpc):
+def _local_tail(codes, local_len, l, s, c, do_hpc, method="bsearch"):
     """Per-shard carry stats: kept-stream count + the shard's last
     min(count, l) kept elements as packed ((global_pos << 3) | code),
     left-aligned in an l-slot buffer."""
@@ -86,7 +86,7 @@ def _local_tail(codes, local_len, l, s, c, do_hpc):
             [jnp.flip(packed, axis=1)],
             l,
             [I32(0)],
-            method="bsearch",
+            method=method,
         )
         tail = comp[0]
         v = jnp.minimum(cnt, l)
@@ -149,7 +149,14 @@ def _seq_sharded_body(codes, lengths, *, spec: PipelineSpec, S: int,
     s = jax.lax.axis_index("seq").astype(I32)
     local_len = jnp.clip(lengths - s * C, 0, C).astype(I32)
 
-    cnt, tail, v = _local_tail(codes, local_len, l, s, C, spec.is_hpc)
+    # bsearch's take_along_axis gathers cost O(m) serial element loads on
+    # TPU — fine for the l-sized tail/pending compactions, ruinous at
+    # m_cap scale (measured ~190 ms/step at m_cap 42k).  Big compactions
+    # go through the streaming Pallas kernel when Mosaic is available.
+    big_method = "bsearch" if interpret else "pallas"
+    cnt, tail, v = _local_tail(
+        codes, local_len, l, s, C, spec.is_hpc, method=big_method
+    )
     all_cnt = jax.lax.all_gather(cnt, "seq")  # [S, Bl]
     all_tail = jax.lax.all_gather(tail, "seq")  # [S, Bl, l]
     all_v = jax.lax.all_gather(v, "seq")  # [S, Bl]
@@ -223,7 +230,7 @@ def _seq_sharded_body(codes, lengths, *, spec: PipelineSpec, S: int,
     ).reshape(Bl, -1)
     packed, n_tot = compact(
         seg_valid, [g_st, g_en] + g_hs, m_cap,
-        [I32(0)] * (2 + len(g_hs)), method="bsearch",
+        [I32(0)] * (2 + len(g_hs)), method=big_method,
     )
     min_start, min_end, *h_packed = packed
     n_raw = g_raw.sum(axis=0).astype(I32)
