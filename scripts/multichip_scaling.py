@@ -132,6 +132,28 @@ def main():
         t_seq = timed(seq_unit, codes, lengths)
     seq_overhead_pct = (t_seq - t_raw) / t_raw * 100.0
 
+    # Tight-capacity variant: the round-2 gather payload scales with the
+    # configured capacity, which users bound via spec.max_minimizers —
+    # 1.5x the expected density instead of capacity_for's ~4x safety
+    # (overflow stays detectable via n_minimizers_raw).
+    tight_cap = int(L * 0.01 * 1.5) + 128
+    tspec = PipelineSpec(
+        l=31, k=5, density=0.01, mode=MODE, max_minimizers=tight_cap
+    )
+    tight_step = make_seq_pipeline(tspec, smesh)
+
+    @jax.jit
+    def tight_unit(codes, lengths):
+        def body(acc, i):
+            out = tight_step(jnp.roll(codes, i, axis=1), lengths)
+            return acc + out.n_kminmers.sum() + out.start.sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(STEPS, dtype=jnp.int32))
+        return acc
+
+    with smesh:
+        t_seq_tight = timed(tight_unit, codes, lengths)
+
     # ---- (DP-b) analytic DP collective budget at N chips
     dp_comm_bytes = B * 4 * (N_CHIPS - 1) / N_CHIPS
     t_dp_coll = dp_comm_bytes / (ICI_GB_S * 1e9)
@@ -152,6 +174,13 @@ def main():
     # capacity factor: actual survivors vs gathered capacity slots
     expected_minimizers = L * 0.01
     cap_factor = m_cap_seq / expected_minimizers
+    # tight-capacity variant (max_minimizers = 1.5x expected density)
+    t_comm_tight = (
+        B * S * (l + 2) * 4 + B * tight_cap * ncols * 4
+    ) * (S - 1) / S / (ICI_GB_S * 1e9)
+    seq_eff_tight = (
+        (t_seq_tight / S) / (t_seq_tight / S + t_comm_tight) * 100.0
+    )
 
     rec = {
         "mode": MODE,
@@ -174,6 +203,16 @@ def main():
             "round2_capacity_factor": round(cap_factor, 2),
             "analytic_comm_s_per_step_at_8_shards": t_comm_seq,
             "analytic_scaling_efficiency_pct_at_8_shards": round(seq_eff, 2),
+            "tight_capacity_variant": {
+                "max_minimizers": tight_cap,
+                "capacity_factor": round(
+                    tight_cap / expected_minimizers, 2
+                ),
+                "seqshard_mesh1x1_ms_per_step": round(t_seq_tight * 1e3, 3),
+                "analytic_scaling_efficiency_pct_at_8_shards": round(
+                    seq_eff_tight, 2
+                ),
+            },
             "note": (
                 "round 2 gathers capacity-padded survivor segments "
                 "(factor ~4 over expected density); efficiency at 8 "
