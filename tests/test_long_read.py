@@ -94,6 +94,28 @@ def test_assemble_stream_tiling_matches_unsplit(rng):
     np.testing.assert_array_equal(got_rev, np.asarray(rev[0]))
 
 
+def test_phase2_capacity_clamp_and_pad(rng):
+    """A requested capacity far beyond the slot count must clamp to the
+    slot total inside phase 2 (the compacted stream cannot outgrow its
+    slots) and zero-pad columns back to m_cap — the guard that keeps the
+    jumbo-chunk VMEM footprint bounded (ops/pipeline.py _phase2_compact)."""
+    from rust_seq2kminmers_tpu.constants import encode_xcodes
+    from rust_seq2kminmers_tpu.oracle import minimizers
+
+    n = 50000
+    seq = "".join(rng.choice(list("ACGT"), size=n))
+    spec = PipelineSpec(
+        l=13, k=3, density=0.05, mode="hpcsimd", max_minimizers=200000
+    )
+    st, en, hs = minimizer_stream_long(
+        encode_xcodes(seq, "simd"), spec, chunk=8192, interpret=True
+    )
+    ref = minimizers(seq, 13, 0.05, HashMode.HpcSimd)
+    assert len(st) == len(ref)
+    got = list(zip(st.tolist(), en.tolist(), [int(x) for x in hs]))
+    assert got == [(a, b, int(h)) for a, b, h in ref]
+
+
 def test_minimizer_stream_long_overflow_recovery(rng):
     # a dense low-complexity region must escalate capacities, not lose
     # minimizers: every window of a repeat hashes identically, so a tiny
