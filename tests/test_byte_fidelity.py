@@ -202,6 +202,98 @@ def test_code_tables_literal():
         assert s[ord(b)] == c, (b, c)
 
 
+# ---- independent literal checks for the H=u16 / H=u64 configs ----------
+# (reference compile-time alternatives, src/lib.rs:30,32: seed tables are
+# the `as H` truncation of the 64-bit published seeds; MixHash is the
+# murmur finalizer for u16 (src/lib.rs:142-155) and identity for u64
+# (src/lib.rs:171-177); rotates run mod the hash width.)
+
+SEEDS64 = {
+    ord("A"): 0x3C8BFBB395C60474, ord("C"): 0x3193C18562A02B4C,
+    ord("G"): 0x20323ED082572324, ord("T"): 0x295549F54BE24456,
+    ord("N"): 0,
+}
+RC64 = {ord("A"): SEEDS64[ord("T")], ord("C"): SEEDS64[ord("G")],
+        ord("G"): SEEDS64[ord("C")], ord("T"): SEEDS64[ord("A")],
+        ord("N"): 0}
+
+
+def rolw(x, r, w):
+    r %= w
+    m = (1 << w) - 1
+    return ((x << r) | (x >> (w - r))) & m if r else x & m
+
+
+def window_hash_w(bts, width):
+    m = (1 << width) - 1
+    l = len(bts)
+    fh = rh = 0
+    for t, b in enumerate(bts):
+        h, rc = SEEDS64.get(b, 1) & m, RC64.get(b, 1) & m
+        fh ^= rolw(h, l - 1 - t, width)
+        rh ^= rolw(rc, t, width)
+    return min(fh, rh)
+
+
+def mix16(x):
+    # murmur64 finalizer with rotate_left(33) (src/lib.rs:142-155)
+    x &= 0xFFFF
+    x ^= rol64(x, 33)
+    x = (x * 0xFF51AFD7ED558CCD) & M64
+    x ^= rol64(x, 33)
+    x = (x * 0xC4CEB9FE1A85EC53) & M64
+    x ^= rol64(x, 33)
+    return x
+
+
+@pytest.mark.parametrize("mode", ["regular", "hpc"])
+@pytest.mark.parametrize("width", [16, 64])
+def test_width_configs_literal(mode, width):
+    """H=u16 and H=u64 through the jax pipeline vs a from-scratch
+    per-window recomputation (no shared code with oracle.py)."""
+    from rust_seq2kminmers_tpu.constants import hash_bound
+
+    seq = BASE + "NNXQ" + BASE.lower() + "AAAAACCCGG" + BASE
+    l, k, d = 9, 3, 0.2 if width == 16 else 0.05
+    raw = list(seq.encode("latin-1"))
+    n = len(raw)
+    if mode == "hpc":
+        pos = [i for i in range(n) if i == 0 or raw[i] != raw[i - 1]]
+        stream = [raw[i] for i in pos]
+        last = len(stream) - l - 1
+    else:
+        pos = list(range(n))
+        stream = raw
+        last = len(stream) - l
+    bound = hash_bound(d, width)
+    mins = []
+    for i in range(last + 1):
+        h = window_hash_w(stream[i : i + l], width)
+        if h <= bound:
+            if mode == "hpc":
+                s = pos[i]
+                e = (pos[i + l] if i + l < len(stream) else n) - 1
+            else:
+                s, e = i, i + l - 1
+            mins.append((s, e, h))
+    mixed = [mix16(h) if width == 16 else h for _, _, h in mins]
+    ref = []
+    for w in range(len(mins) - k + 1):
+        fh = rh = 0
+        for t in range(k):
+            fh ^= rol64(mixed[w + t], k - 1 - t)
+            rh ^= rol64(mixed[w + t], t)
+        ref.append(
+            (min(fh, rh), mins[w][0], mins[w + k - 1][1], w, rh < fh)
+        )
+    got = kminmers_list(seq, l, k, d, HashMode(mode), hash_width=width)
+    assert len(got) == len(ref), (mode, width, len(got), len(ref))
+    for g, r in zip(got, ref):
+        assert (g.hash, g.start, g.end, g.offset, g.rev) == r, (
+            mode, width, g, r,
+        )
+
+
 def test_encode_xcodes_keep_bits_track_raw_bytes():
     # "AXYA": X and Y share the scalar OTHER code but differ as raw bytes,
     # so every position keeps; "AAXX" collapses inside each raw-byte run.
