@@ -294,6 +294,67 @@ def test_width_configs_literal(mode, width):
         )
 
 
+@pytest.mark.parametrize("mode", ["regular", "hpc"])
+def test_nthash2_31_literal(mode):
+    """The NtHash2-hybrid 31-bit variant (reference
+    src/nthash2_avx512_32.rs): seeds are the TOP 31 bits of the 64-bit
+    published constants (`SEED >> 33`, :238-241), rotates run mod 31, and
+    the density bound is halved (:53-54 — the 31-bit hash space is half of
+    32-bit).  Checked from scratch per window at l=45 > 31 (the regime the
+    variant exists for)."""
+    from rust_seq2kminmers_tpu.constants import hash_bound_u32
+
+    seq = BASE * 3 + "NNXQ" + BASE.lower() + "AAAAACCCGG" + BASE * 2
+    l, k, d = 45, 2, 0.1
+    raw = list(seq.encode("latin-1"))
+    n = len(raw)
+    if mode == "hpc":
+        pos = [i for i in range(n) if i == 0 or raw[i] != raw[i - 1]]
+        stream = [raw[i] for i in pos]
+        last = len(stream) - l - 1
+    else:
+        pos = list(range(n))
+        stream = raw
+        last = len(stream) - l
+    # scalar-family modes use the f64 bound halved with `<=` (the
+    # SIMD-family f32 recomputation would be hash_bound_nthash2_31)
+    bound = hash_bound_u32(d) // 2
+    mins = []
+    for i in range(last + 1):
+        fh = rh = 0
+        for t in range(l):
+            b = stream[i + t]
+            h = (SEEDS64.get(b, 1 << 33) >> 33) if b in SEEDS64 else 1
+            rc = (RC64.get(b, 1 << 33) >> 33) if b in RC64 else 1
+            fh ^= rolw(h, (l - 1 - t) % 31, 31)
+            rh ^= rolw(rc, t % 31, 31)
+        h = min(fh, rh)
+        if h <= bound:
+            if mode == "hpc":
+                s = pos[i]
+                e = (pos[i + l] if i + l < len(stream) else n) - 1
+            else:
+                s, e = i, i + l - 1
+            mins.append((s, e, h))
+    mixed = [mix32(h) for _, _, h in mins]
+    ref = []
+    for w in range(len(mins) - k + 1):
+        fh = rh = 0
+        for t in range(k):
+            fh ^= rol64(mixed[w + t], k - 1 - t)
+            rh ^= rol64(mixed[w + t], t)
+        ref.append(
+            (min(fh, rh), mins[w][0], mins[w + k - 1][1], w, rh < fh)
+        )
+    got = kminmers_list(
+        seq, l, k, d, HashMode(mode), variant="nthash2",
+        strict_limits=False,
+    )
+    assert len(got) == len(ref), (mode, len(got), len(ref))
+    for g, r in zip(got, ref):
+        assert (g.hash, g.start, g.end, g.offset, g.rev) == r, (mode, g, r)
+
+
 def test_encode_xcodes_keep_bits_track_raw_bytes():
     # "AXYA": X and Y share the scalar OTHER code but differ as raw bytes,
     # so every position keeps; "AAXX" collapses inside each raw-byte run.
