@@ -210,7 +210,11 @@ def encode_xcodes(
     for the numpy fancy-index path)."""
     native_ok = len(seq) >= 4096 and (
         not isinstance(seq, np.ndarray)
-        or (seq.dtype == np.uint8 and seq.flags["C_CONTIGUOUS"])
+        or (
+            seq.ndim == 1
+            and seq.dtype == np.uint8
+            and seq.flags["C_CONTIGUOUS"]
+        )
     )
     if native_ok:
         try:

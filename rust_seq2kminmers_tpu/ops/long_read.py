@@ -268,6 +268,7 @@ def _tile_rows(arr: np.ndarray, R: int, stride: int, tile: int) -> np.ndarray:
 
 
 _assemble_mixed_jit = jax.jit(assemble_kminmers_mixed, static_argnums=1)
+_mix16_jit = jax.jit(mix64_murmur_from_u16)
 
 
 def _assemble_mixed_tiled(rows_hi, rows_lo, k, stride, nwin):
@@ -319,7 +320,7 @@ def assemble_stream(
         return _assemble_mixed_tiled(rows_hi, rows_lo, k, stride, nwin)
     if min_hash.dtype == np.uint16:
         rows16 = _tile_rows(min_hash, R, stride, tile).astype(np.uint32)
-        (mhi, mlo) = jax.jit(mix64_murmur_from_u16)(jnp.asarray(rows16))
+        (mhi, mlo) = _mix16_jit(jnp.asarray(rows16))
         return _assemble_mixed_tiled(mhi, mlo, k, stride, nwin)
     rows = _tile_rows(min_hash.astype(np.uint32, copy=False), R, stride, tile)
     (hi, lo), rev = assemble_kminmers_pallas(

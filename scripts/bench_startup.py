@@ -63,6 +63,11 @@ def run_cli(env) -> tuple[float, float]:
     for ln in r.stdout.splitlines():
         if "FASTA to kminmers in " in ln:
             stream_s = float(ln.split("FASTA to kminmers in ")[1].split("s:")[0])
+    if stream_s is None:
+        raise RuntimeError(
+            "CLI output had no 'FASTA to kminmers in ' timing line:\n"
+            + r.stdout
+        )
     return dt, stream_s
 
 
