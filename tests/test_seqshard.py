@@ -14,7 +14,10 @@ from rust_seq2kminmers_tpu.oracle import HashMode
 from rust_seq2kminmers_tpu.oracle import kminmers as oracle_kminmers
 from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec
 from rust_seq2kminmers_tpu.parallel.mesh import make_mesh
-from rust_seq2kminmers_tpu.parallel.seqshard import make_seq_pipeline
+from rust_seq2kminmers_tpu.parallel.seqshard import (
+    make_seq_pipeline,
+    stitch_segments,
+)
 
 
 def _mixed_batch(rng, B, L, lo_frac=0.4):
@@ -69,7 +72,7 @@ def test_seq_sharded_matches_oracle(rng, mode):
     )
     fn = make_seq_pipeline(spec, mesh)
     with mesh:
-        out = fn(jnp.asarray(codes), jnp.asarray(lengths))
+        out = stitch_segments(fn(jnp.asarray(codes), jnp.asarray(lengths)))
     _check_against_oracle(out, seqs, l, k, d, mode)
 
 
@@ -85,7 +88,7 @@ def test_seq_sharded_two_shards_large_l(rng):
     )
     fn = make_seq_pipeline(spec, mesh)
     with mesh:
-        out = fn(jnp.asarray(codes), jnp.asarray(lengths))
+        out = stitch_segments(fn(jnp.asarray(codes), jnp.asarray(lengths)))
     _check_against_oracle(out, seqs, l, k, d, "hpcsimd")
 
 
@@ -107,7 +110,7 @@ def test_seq_sharded_run_spanning_shards(rng):
     )
     fn = make_seq_pipeline(spec, mesh)
     with mesh:
-        out = fn(jnp.asarray(codes), jnp.asarray(lengths))
+        out = stitch_segments(fn(jnp.asarray(codes), jnp.asarray(lengths)))
     _check_against_oracle(out, [s], l, k, d, "hpc")
 
 
@@ -138,7 +141,7 @@ def test_seq_sharded_hash_widths(rng, width, mode):
     )
     fn = make_seq_pipeline(spec, mesh)
     with mesh:
-        out = fn(jnp.asarray(codes), jnp.asarray(lengths))
+        out = stitch_segments(fn(jnp.asarray(codes), jnp.asarray(lengths)))
     for b, s in enumerate(seqs):
         ref = oracle_kminmers(s, l, k, d, HashMode(mode), width)
         nk = int(out.n_kminmers[b])
@@ -152,3 +155,36 @@ def test_seq_sharded_hash_widths(rng, width, mode):
             assert int(out.start[b, i]) == r.start, (width, mode, b, i)
             assert int(out.end[b, i]) == r.end, (width, mode, b, i)
             assert bool(out.rev[b, i]) == r.rev, (width, mode, b, i)
+
+
+def test_seq_sharded_halo_spans_many_shards(rng):
+    # density so low that each shard holds FEWER than k-1 survivors: the
+    # k-window halo must splice across several predecessor shards, and
+    # the first shards' window coverage starts mid-segment (km_off > 0).
+    mesh = make_mesh(n_data=1, n_seq=8)
+    B, L = 1, 8 * 1024
+    codes, lengths, seqs = _mixed_batch(rng, B, L, lo_frac=0.9)
+    l, k, d = 13, 7, 0.004
+    spec = PipelineSpec(
+        l=l, k=k, density=d, mode="regular", compaction="fused_interpret"
+    )
+    fn = make_seq_pipeline(spec, mesh)
+    with mesh:
+        seg = fn(jnp.asarray(codes), jnp.asarray(lengths))
+    out = stitch_segments(seg)
+    _check_against_oracle(out, seqs, l, k, d, "regular")
+
+
+def test_seq_sharded_k1_no_halo(rng):
+    # k=1: every minimizer is a k-min-mer; the halo collective vanishes.
+    mesh = make_mesh(n_data=2, n_seq=4)
+    B, L = 2, 4 * 1024
+    codes, lengths, seqs = _mixed_batch(rng, B, L)
+    l, k, d = 11, 1, 0.05
+    spec = PipelineSpec(
+        l=l, k=k, density=d, mode="hpcsimd", compaction="fused_interpret"
+    )
+    fn = make_seq_pipeline(spec, mesh)
+    with mesh:
+        out = stitch_segments(fn(jnp.asarray(codes), jnp.asarray(lengths)))
+    _check_against_oracle(out, seqs, l, k, d, "hpcsimd")
