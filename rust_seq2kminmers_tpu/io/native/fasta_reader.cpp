@@ -370,7 +370,9 @@ int64_t s2k_hpc_rle32(const uint8_t* seq, int64_t n, int collapse_any,
 
 int64_t s2k_hpc_rle64(const uint8_t* seq, int64_t n, int collapse_any,
                       uint8_t* out_chars, int64_t* out_pos) {
-  return s2k::rle_dispatch<int64_t>(seq, n, collapse_any, out_chars, out_pos);
+  s2k::rle_malloc_tune();
+  return s2k::rle_dispatch<int64_t>(seq, n, collapse_any, out_chars,
+                                    out_pos);
 }
 
 void s2k_close(void* h) {

@@ -16,6 +16,12 @@
 #pragma once
 
 #include <immintrin.h>
+#if defined(__has_include)
+#if __has_include(<malloc.h>)
+#include <malloc.h>
+#define S2K_HAVE_MALLOC_H 1
+#endif
+#endif
 
 #include <algorithm>
 #include <array>
@@ -324,6 +330,31 @@ int64_t rle_dispatch(const uint8_t* seq, int64_t n, int collapse_any,
   RlePlan plan = rle_plan(seq, n, collapse_any);
   rle_store<PosT>(plan, seq, n, collapse_any, out_chars, out_pos);
   return plan.total;
+}
+
+// ---- int64-position (usize-equivalent) throughput --------------------
+// The r4-measured 1.0 GB/s median for the int64-position variant at
+// 10 MB (BENCH_MODES_r04) was NOT the compress-store's 2x position write
+// traffic: with warm output buffers the direct int64 store runs 5.2
+// GB/s(in) vs 8.8 for int32 (microbenched), and an int32-staging +
+// SIMD-widen variant is SLOWER than the direct store (3.0 GB/s(in) —
+// the extra 4B/element scratch round-trip costs more than the narrower
+// compress-stores save).  The real residual was allocator behavior: a
+// ~63 MB int64 output exceeds glibc's dynamic M_MMAP_THRESHOLD cap
+// (32 MB), so every call mmap'd a fresh region and paid ~5 ms of page
+// faults, where the ~31 MB int32 output was arena-cached and warm.
+// Fix: raise the malloc mmap/trim thresholds once per process so large
+// freed output buffers stay warm in the arena (rle_malloc_tune below,
+// called from both native entry layers).
+inline void rle_malloc_tune() {
+#if defined(S2K_HAVE_MALLOC_H) && defined(M_MMAP_THRESHOLD)
+  static bool done = [] {
+    mallopt(M_MMAP_THRESHOLD, 256 << 20);
+    mallopt(M_TRIM_THRESHOLD, 256 << 20);
+    return true;
+  }();
+  (void)done;
+#endif
 }
 
 // ---- xcode encoding --------------------------------------------------

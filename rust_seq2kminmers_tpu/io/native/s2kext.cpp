@@ -197,5 +197,10 @@ PyModuleDef kModule = {
 
 PyMODINIT_FUNC PyInit_s2kext(void) {
   import_array();
+  // Keep multi-10MB freed output buffers warm in the malloc arena: the
+  // int64-position outputs otherwise exceed glibc's dynamic mmap
+  // threshold and pay ~5 ms of fresh page faults per call (see
+  // rle_kernels.h, "int64-position throughput").
+  s2k::rle_malloc_tune();
   return PyModule_Create(&kModule);
 }
