@@ -73,7 +73,9 @@ def run_file(
         f"k-min-mers from {st.total_bases} bases over {st.num_records} "
         f"records ({st.total_bases / st.wall_s / 1e9:.3f} GB/s end-to-end; "
         f"{st.batches} batches in {st.buckets} length buckets, "
-        f"{st.pack_s:.3f}s host packing overlapped)."
+        f"{st.pack_s:.3f}s host packing overlapped; "
+        f"program warm-up {st.warm_s:.3f}s in background, first result at "
+        f"{st.first_result_s:.3f}s)."
     )
     if out is not None:
         print(f"ordered k-min-mer stream written to {out}")

@@ -81,6 +81,15 @@ class StreamStats:
     pack_s: float  # producer-thread packing time (overlapped)
     batches: int
     buckets: int
+    # Background executable warm-up (the server-side program load of the
+    # cache-deserialized executable lands on the FIRST execution, not on
+    # compile — BENCH_STARTUP_r04; the warm thread pays it concurrently
+    # with packing/staging instead of synchronously on the first real
+    # batch).  warm_s = warm thread duration; first_result_s = time from
+    # run start to the first settled batch (their overlap is the hidden
+    # share).
+    warm_s: float = 0.0
+    first_result_s: float = 0.0
 
 
 class StreamingRunner:
@@ -202,12 +211,40 @@ class StreamingRunner:
             target=self._produce, args=(plan, q), daemon=True
         )
         t0 = time.perf_counter()
+
+        # Kick every bucket executable's FIRST execution (dummy batch) on a
+        # background thread: a compile-cache hit still pays a server-side
+        # program load on first execution (BENCH_STARTUP_r04 diagnosis);
+        # here it overlaps packing, uploads and first-batch staging instead
+        # of blocking the first real batch.  Shares the executables via
+        # _cached_pipeline, so the real batches reuse the warmed programs.
+        warm_stat = {"s": 0.0}
+        warm_moot = threading.Event()  # real work done; stop starting more
+
+        def _warm():
+            t_w = time.perf_counter()
+            try:
+                for pad, rows, _ in plan:
+                    if warm_moot.is_set():
+                        break
+                    wcodes = np.full((rows, pad), XCODE_PAD, dtype=np.uint8)
+                    wlens = np.zeros((rows,), dtype=np.int32)
+                    jax.block_until_ready(
+                        _cached_pipeline(self.spec)(wcodes, wlens)
+                    )
+            except Exception:  # pragma: no cover — warm-up is best-effort
+                pass
+            warm_stat["s"] = time.perf_counter() - t_w
+
+        warm = threading.Thread(target=_warm, daemon=True)
+        warm.start()
         producer.start()
 
         counts = np.zeros(n, dtype=np.int64)
         total = 0
         batches = 0
         pack_s = 0.0
+        first_result_s = 0.0
         self._chunks = []
         # Depth-2 in-flight window: batch g+1's transfer + dispatch are
         # issued before batch g's results are read back, so the device never
@@ -228,9 +265,15 @@ class StreamingRunner:
             batches += 1
             if len(inflight) >= 2:
                 total += self._settle(*inflight.popleft(), counts, progress)
+                if not first_result_s:
+                    first_result_s = time.perf_counter() - t0
         while inflight:
             total += self._settle(*inflight.popleft(), counts, progress)
+            if not first_result_s:
+                first_result_s = time.perf_counter() - t0
         producer.join()
+        warm_moot.set()  # skip not-yet-started warm shapes
+        warm.join()  # bounded by at most one in-flight dummy batch
         self._counts = counts
         self.stats = StreamStats(
             total_kminmers=total,
@@ -240,6 +283,8 @@ class StreamingRunner:
             pack_s=pack_s,
             batches=batches,
             buckets=len(plan),
+            warm_s=warm_stat["s"],
+            first_result_s=first_result_s,
         )
         return self.stats
 

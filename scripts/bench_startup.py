@@ -46,7 +46,7 @@ sys.path.insert(0, str(REPO))
 
 
 def run_cli(env) -> tuple[float, float]:
-    """-> (subprocess wall seconds, in-CLI stream seconds)."""
+    """-> (subprocess wall s, in-CLI stream s, background warm s)."""
     t0 = time.perf_counter()
     r = subprocess.run(
         [sys.executable, "-m", "rust_seq2kminmers_tpu", str(FIXTURE), "2"],
@@ -59,21 +59,23 @@ def run_cli(env) -> tuple[float, float]:
     dt = time.perf_counter() - t0
     if r.returncode != 0 or "1942 k-min-mers" not in r.stdout:
         raise RuntimeError(f"CLI failed/incorrect:\n{r.stdout}\n{r.stderr}")
-    stream_s = None
+    stream_s = warm_s = None
     for ln in r.stdout.splitlines():
         if "FASTA to kminmers in " in ln:
             stream_s = float(ln.split("FASTA to kminmers in ")[1].split("s:")[0])
+        if "program warm-up " in ln:
+            warm_s = float(ln.split("program warm-up ")[1].split("s in")[0])
     if stream_s is None:
         raise RuntimeError(
             "CLI output had no 'FASTA to kminmers in ' timing line:\n"
             + r.stdout
         )
-    return dt, stream_s
+    return dt, stream_s, warm_s
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--round", type=int, default=5)
     ap.add_argument("--runs", type=int, default=4)
     args = ap.parse_args()
 
@@ -83,10 +85,14 @@ def main():
     shutil.rmtree(cache, ignore_errors=True)
     runs = []
     for i in range(args.runs):
-        wall, stream_s = run_cli(env)
-        runs.append({"wall_s": round(wall, 2), "stream_s": round(stream_s, 2)})
-        print(f"run {i + 1}: wall={wall:.1f}s stream={stream_s:.1f}s",
-              flush=True)
+        wall, stream_s, warm_s = run_cli(env)
+        runs.append({
+            "wall_s": round(wall, 2),
+            "stream_s": round(stream_s, 2),
+            "warm_overlapped_s": None if warm_s is None else round(warm_s, 2),
+        })
+        print(f"run {i + 1}: wall={wall:.1f}s stream={stream_s:.1f}s "
+              f"warm={warm_s}s", flush=True)
 
     # steady-state: per-batch latency once compiled, in-process
     from rust_seq2kminmers_tpu.io.stream import stream_file
@@ -127,7 +133,14 @@ def main():
             "0.15 s cache-hit compile), runs 3+ are the steady door-to-"
             "door floor. Server-side compile (run 1) is 3-5 s when the "
             "service is idle and was observed at 90-390 s under "
-            "congestion for a never-before-seen program."
+            "congestion for a never-before-seen program. r5: the stream "
+            "runner kicks each bucket executable's first (dummy-batch) "
+            "execution on a background thread at run() start, so the "
+            "program load overlaps packing/staging (warm_overlapped_s "
+            "per run is that thread's duration); on this single-batch "
+            "100 kb fixture there is only ~ms of host work to hide "
+            "behind, so the load bounds run 2 from below regardless — "
+            "the overlap pays off on multi-batch files."
         ),
     }
     path = REPO / f"BENCH_STARTUP_r{args.round:02d}.json"

@@ -2,7 +2,7 @@
 
 Runs ONE synthetic 300 Mbp read through ops/long_read.py on the TPU
 (lifting the single-launch padded-length cap via the kernel carry), and
-validates four ways:
+validates five ways:
   1. chunk-size invariance of the full minimizer stream (64M vs 128M
      chunks exercise different chunk-boundary placements over the same
      read);
@@ -11,9 +11,16 @@ validates four ways:
   3. host xcode-encode throughput (native AVX-512 path, ndarray input);
   4. device-resident throughput of the steady-state chunk loop (GB/s) at
      the production block geometry (block_rows=512 for hpc modes, like
-     the batch pipeline).
+     the batch pipeline);
+  5. batched long reads (kminmers_long_batch): 2 x half-size reads riding
+     the same launches must equal their per-read runs record-for-record.
 
-Writes LONGREAD_r04.json at the repo root.
+r5 adds the explicit end-to-end decomposition (encode / upload / compute
+/ download measured separately) so the tunnel-bound share is attributed,
+not blended, and the phase-A producer-thread pipeline overlaps staging +
+uploads with dispatch (warm end-to-end ~ max(upload, compute) + fetch).
+
+Writes LONGREAD_r05.json at the repo root.
 
 Usage: python scripts/long_read_300m.py [n_mbp]
 """
@@ -108,14 +115,14 @@ def main():
             mst, men, mhs, b1, p1, cacc = stepd(
                 jnp.roll(buf, i, axis=1), ll, lim, b0, p0, cacc, i
             )
-            nm = cacc[jnp.minimum(i, 31), 0]
+            nm = cacc[jnp.minimum(i, 31), 0, 0]
             return (acc + nm + mst[0, 0], b1, p1, cacc), None
 
         init = (
             jnp.int32(0),
             jnp.zeros((1,), I32),
             jnp.zeros((1, 8, 128), I32),
-            jnp.zeros((32, 2), I32),
+            jnp.zeros((32, 1, 2), I32),
         )
         (acc, _, _, _), _ = jax.lax.scan(
             body, init, jnp.arange(STEPS, dtype=jnp.int32)
@@ -130,6 +137,53 @@ def main():
         ts.append(time.perf_counter() - t0)
     dev_gbs = cdev / (float(np.median(ts)) / STEPS) / 1e9
     print(f"device-resident chunk stream: {dev_gbs:.2f} GB/s", flush=True)
+
+    # ---- decomposition: upload and download measured in isolation so the
+    # end-to-end wall's tunnel-bound share is attributed, not blended.
+    nchunks = -(-n // cdev)
+    up_buf = np.ascontiguousarray(codes[:cdev][None, :])
+    jax.block_until_ready(jax.device_put(up_buf))  # warm path
+    t0 = time.perf_counter()
+    for _ in range(nchunks):
+        jax.block_until_ready(jax.device_put(up_buf))
+    t_upload = time.perf_counter() - t0
+    print(f"upload ({nchunks} x {cdev >> 20} MB chunks): "
+          f"{t_upload:.2f}s = {n / t_upload / 1e9:.3f} GB/s", flush=True)
+    # download: one phase-D-sized survivor fetch per chunk.  The buffer
+    # must be random (the tunnel compresses constant data) AND produced
+    # ON DEVICE (device_get of an uploaded array returns the cached host
+    # copy without touching the tunnel), and each rep must re-materialize
+    # it (the first fetch populates the array's host cache).
+    rngd = np.random.default_rng(7)
+    dl_src = jax.device_put(
+        jnp.asarray(
+            rngd.integers(0, 2**31, size=(3, 1, m_dev), dtype=np.int32)
+        )
+    )
+    mk_dl = jax.jit(lambda x, s: x ^ s)
+    np.asarray(jax.device_get(mk_dl(dl_src, jnp.int32(0))))  # warm
+    t0 = time.perf_counter()
+    for r in range(nchunks):
+        np.asarray(jax.device_get(mk_dl(dl_src, jnp.int32(r + 1))))
+    t_download = time.perf_counter() - t0
+    print(f"download ({nchunks} x {3 * m_dev * 4 >> 20} MB): "
+          f"{t_download:.2f}s", flush=True)
+    # per-sync tunnel round trip (phase B pays exactly one)
+    tiny = jax.jit(lambda x: x + 1)
+    int(tiny(jnp.int32(0)))
+    t0 = time.perf_counter()
+    int(tiny(jnp.int32(1)))
+    t_rtt = time.perf_counter() - t0
+    t_compute = n / dev_gbs / 1e9
+    decomp = {
+        "encode_s": round(t_enc, 3),
+        "upload_s": round(t_upload, 3),
+        "compute_s": round(t_compute, 3),
+        "download_s": round(t_download, 3),
+        "sync_rtt_s": round(t_rtt, 3),
+        "sum_s": round(t_enc + t_upload + t_compute + t_download, 3),
+        "max_overlap_s": round(max(t_upload, t_compute) + t_download, 3),
+    }
 
     results = {}
     streams = {}
@@ -180,6 +234,33 @@ def main():
     print(f"oracle 4 Mbp prefix: {'OK' if oracle_ok else 'MISMATCH'} "
           f"({len(safe)} records)")
 
+    # ---- batched long reads: two half-size reads through ONE set of
+    # [2, chunk] launches must equal their per-read runs record-for-record
+    # (kminmers_long_batch, VERDICT r4 #7).
+    from rust_seq2kminmers_tpu.ops.long_read import (
+        minimizer_stream_long_batch,
+    )
+
+    half = n // 2
+    rows = [codes[:half], codes[half:]]
+    got2 = minimizer_stream_long_batch(rows, spec, chunk=cdev)  # warm
+    t0 = time.perf_counter()
+    got2 = minimizer_stream_long_batch(rows, spec, chunk=cdev)
+    t_batch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ref2 = [
+        minimizer_stream_long(r, spec, chunk=cdev) for r in rows
+    ]
+    t_per = time.perf_counter() - t0
+    batch_ok = all(
+        np.array_equal(got2[b][i], ref2[b][i])
+        for b in range(2)
+        for i in range(3)
+    )
+    print(f"batched 2 x {half // 1_000_000} Mbp: "
+          f"{'OK' if batch_ok else 'MISMATCH'} "
+          f"(batch {t_batch:.1f}s vs per-read {t_per:.1f}s)", flush=True)
+
     out = {
         "read_mbp": n_mbp,
         "mode": mode,
@@ -189,18 +270,26 @@ def main():
         "host_encode_gb_s": round(n / t_enc / 1e9, 3),
         "device_resident_gb_s": round(dev_gbs, 3),
         "device_resident_steps_per_sync": STEPS,
+        "decomposition_32M_chunks": decomp,
         "chunk_invariance": bool(inv),
         "oracle_4mbp_prefix": bool(oracle_ok),
+        "batched_2x_half_exact": bool(batch_ok),
+        "batched_wall_s": round(t_batch, 3),
+        "per_read_wall_s": round(t_per, 3),
         "note": "end-to-end rates include the axon tunnel's ~0.3-0.4 s "
-        "PER-LAUNCH dispatch latency and MB/s-class downloads; "
+        "PER-LAUNCH dispatch latency and MB/s-class transfers; the "
+        "decomposition attributes the wall to encode/upload/compute/"
+        "download measured in isolation — phase A's producer thread "
+        "overlaps staging+upload with dispatch, so warm end-to-end ~ "
+        "max(upload, compute) + download rather than their sum. "
         "device_resident_gb_s is the rate with host I/O out of the "
-        "picture (co-located hosts pay ~100 us/launch over PCIe)",
+        "picture (co-located hosts pay ~100 us/launch over PCIe).",
         **results,
     }
-    path = Path(__file__).resolve().parents[1] / "LONGREAD_r04.json"
+    path = Path(__file__).resolve().parents[1] / "LONGREAD_r05.json"
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
-    if not (inv and oracle_ok):
+    if not (inv and oracle_ok and batch_ok):
         sys.exit(1)
 
 

@@ -179,3 +179,44 @@ def test_long_read_u64_width(rng, mode):
         assert int(got["start"][i]) == r.start, (mode, i)
         assert int(got["end"][i]) == r.end, (mode, i)
         assert bool(got["rev"][i]) == r.rev, (mode, i)
+
+
+def test_long_read_batch_matches_per_read(rng):
+    """kminmers_long_batch (B>1 rows riding the same chunk launches, with
+    the producer-thread staging pipeline) must be bit-identical to
+    per-read kminmers_long AND the oracle — including rows of different
+    lengths (short rows pad out mid-stream) and a row shorter than l."""
+    from rust_seq2kminmers_tpu.ops.long_read import kminmers_long_batch
+
+    seqs = []
+    for n in (9000, 5200, 7):
+        parts = []
+        m = 0
+        while m < n:
+            if rng.random() < 0.25:
+                p = str(rng.choice(list("ACGT"))) * int(
+                    rng.integers(2, 400)
+                )
+            else:
+                p = "".join(
+                    rng.choice(list("ACGTN"), size=int(rng.integers(30, 300)))
+                )
+            parts.append(p)
+            m += len(p)
+        seqs.append("".join(parts)[:n])
+    l, k, d, mode = 13, 3, 0.08, "hpcsimd"
+    batch = kminmers_long_batch(
+        seqs, l=l, k=k, density=d, mode=mode, chunk=2048, interpret=True
+    )
+    for seq, got in zip(seqs, batch):
+        one = kminmers_long(
+            seq, l=l, k=k, density=d, mode=mode, chunk=2048, interpret=True
+        )
+        ref = oracle_kminmers(seq, l, k, d, HashMode(mode))
+        assert len(got["hash"]) == len(ref) == len(one["hash"])
+        for key in ("hash", "start", "end", "offset", "rev"):
+            assert np.array_equal(got[key], one[key]), key
+        for i, r in enumerate(ref):
+            assert int(got["hash"][i]) == r.hash, i
+            assert int(got["start"][i]) == r.start, i
+            assert int(got["end"][i]) == r.end, i
