@@ -180,3 +180,87 @@ def test_stream_on_chip(tpu_device, tmp_path, rng):
             assert got["hash"][pos] == np.uint64(rec.hash)
             pos += 1
     assert pos == st.total_kminmers
+
+
+def test_long_read_batched_on_chip(tpu_device, rng):
+    """kminmers_long_batch on the chip: two long reads of different
+    lengths riding the same [2, chunk] launches (producer-thread staged,
+    [B]-shaped carry) must be record-exact vs their per-read runs and
+    the oracle (VERDICT r4 #7)."""
+    from rust_seq2kminmers_tpu.ops.long_read import (
+        kminmers_long,
+        kminmers_long_batch,
+    )
+    from rust_seq2kminmers_tpu.oracle import HashMode, kminmers
+
+    seqs = []
+    for n in (2_500_000, 1_400_000):
+        b = rng.choice(list("ACGT"), size=n)
+        for i in rng.integers(0, n - 64, size=n // 150):
+            b[i : i + int(rng.integers(2, 12))] = b[i]
+        seqs.append("".join(b))
+    batch = kminmers_long_batch(
+        seqs, 31, 5, 0.01, mode="hpcsimd", chunk=1 << 20
+    )
+    for s, got in zip(seqs, batch):
+        one = kminmers_long(s, 31, 5, 0.01, mode="hpcsimd", chunk=1 << 20)
+        for key in ("hash", "start", "end", "offset", "rev"):
+            assert np.array_equal(got[key], one[key]), key
+        ref = kminmers(s, 31, 5, 0.01, HashMode("hpcsimd"))
+        assert len(got["hash"]) == len(ref) > 1000
+        for i in (0, len(ref) // 2, len(ref) - 1):
+            r = ref[i]
+            assert (
+                int(got["hash"][i]), int(got["start"][i]),
+                int(got["end"][i]), bool(got["rev"][i]),
+            ) == (r.hash, r.start, r.end, r.rev), i
+
+
+def test_seqshard_halo_on_chip(tpu_device, rng):
+    """The r5 seq-sharded path (O(k) minimizer halo, sharded-segment
+    outputs) Mosaic-lowered on a 1x1 device mesh: stitched output must be
+    record-exact vs the oracle."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from rust_seq2kminmers_tpu.constants import XCODE_PAD, encode_xcodes
+    from rust_seq2kminmers_tpu.oracle import HashMode, kminmers
+    from rust_seq2kminmers_tpu.ops.pipeline import PipelineSpec
+    from rust_seq2kminmers_tpu.parallel.seqshard import (
+        make_seq_pipeline,
+        stitch_segments,
+    )
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:1]).reshape(1, 1), ("data", "seq")
+    )
+    B, L = 2, 64 * 1024
+    codes = np.full((B, L), XCODE_PAD, dtype=np.uint8)
+    lengths = np.zeros(B, dtype=np.int32)
+    seqs = []
+    for b in range(B):
+        n = int(rng.integers(L // 2, L - 1))
+        arr = rng.choice(list("ACGTN"), size=n)
+        for i in rng.integers(0, n - 40, size=n // 80):
+            arr[i : i + int(rng.integers(2, 9))] = arr[i]
+        s = "".join(arr)
+        seqs.append(s)
+        codes[b, :n] = encode_xcodes(s, "scalar")
+        lengths[b] = n
+    spec = PipelineSpec(l=13, k=3, density=0.02, mode="hpc")
+    fn = make_seq_pipeline(spec, mesh)
+    with mesh:
+        out = stitch_segments(fn(jnp.asarray(codes), jnp.asarray(lengths)))
+    for b, s in enumerate(seqs):
+        ref = kminmers(s, 13, 3, 0.02, HashMode("hpc"))
+        nk = int(out.n_kminmers[b])
+        assert nk == len(ref) > 100, (b, nk, len(ref))
+        hh = np.asarray(out.hash_hi[b, :nk]).astype(np.uint64)
+        hl = np.asarray(out.hash_lo[b, :nk]).astype(np.uint64)
+        got_h = (hh << np.uint64(32)) | hl
+        for i, r in enumerate(ref):
+            assert int(got_h[i]) == r.hash, (b, i)
+            assert int(out.start[b, i]) == r.start, (b, i)
+            assert int(out.end[b, i]) == r.end, (b, i)
+            assert bool(out.rev[b, i]) == r.rev, (b, i)
