@@ -51,6 +51,8 @@ def run_file(
     density: float = 0.01,
     out: str | None = None,
     progress: bool = False,
+    hash_width: int = 32,
+    variant: str = "nthash1",
 ):
     import jax
 
@@ -64,7 +66,10 @@ def run_file(
         f"Enumerating k-min-mers for the input file {filename} "
         f"({nb_threads} packer threads, device {jax.devices()[0]})"
     )
-    spec = PipelineSpec(l=l, k=k, density=density, mode=mode)
+    spec = PipelineSpec(
+        l=l, k=k, density=density, mode=mode, hash_width=hash_width,
+        variant=variant,
+    )
     st = stream_file(
         filename, spec, threads=nb_threads, out=out, progress=progress
     )
@@ -103,6 +108,13 @@ def main(argv=None):
     ap.add_argument("-d", "--density", type=float, default=0.01)
     ap.add_argument("-o", "--out", default=None,
                     help="write the ordered stream to this .npz")
+    ap.add_argument("--hash-width", type=int, default=32,
+                    choices=[16, 32, 64],
+                    help="minimizer hash precision (the reference's "
+                    "compile-time H, src/lib.rs:30-32)")
+    ap.add_argument("--variant", default="nthash1",
+                    choices=["nthash1", "nthash2"],
+                    help="nthash2 = the 31-bit-rotate hybrid for l > 31")
     ap.add_argument("--progress", action="store_true")
     args = ap.parse_args(argv)
     import os
@@ -113,6 +125,7 @@ def main(argv=None):
     run_file(
         args.fasta, args.nb_threads, mode=args.mode, l=args.l, k=args.k,
         density=args.density, out=args.out, progress=args.progress,
+        hash_width=args.hash_width, variant=args.variant,
     )
     return 0
 
