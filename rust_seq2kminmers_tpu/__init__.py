@@ -18,6 +18,7 @@ from .kminmer import (
     kminmers_vec,
 )
 from .oracle import HashMode, KminmerRecord, nthash1_minimizer_space
+from .ops.long_read import kminmers_long, kminmers_long_batch
 from .ops.pipeline import KminmerBatch, PipelineSpec, kminmer_pipeline, make_pipeline
 
 __version__ = "0.1.0"
