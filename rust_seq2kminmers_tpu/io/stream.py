@@ -43,6 +43,49 @@ from ..constants import XCODE_PAD, family_of_mode
 PAD_QUANTUM = 1024
 ROW_QUANTUM = 8
 
+_packed_pipelines: Dict = {}
+
+
+def _cached_packed_pipeline(spec):
+    """Jitted pipeline over nibble-packed codes (two 4-bit xcodes per
+    byte): the device unpacks, so H2D traffic per batch halves — the
+    dominant cost on transfer-bound links (see ops/long_read.py
+    pack_transfer).  Keyed like api._cached_pipeline."""
+    fn = _packed_pipelines.get(spec)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.pipeline import kminmer_pipeline
+
+        @jax.jit
+        def fn(packed, lengths):
+            lo = packed & jnp.uint8(0xF)
+            hi = packed >> jnp.uint8(4)
+            codes = jnp.stack([lo, hi], axis=-1).reshape(
+                packed.shape[0], packed.shape[1] * 2
+            )
+            return kminmer_pipeline(codes, lengths, spec)
+
+        _packed_pipelines[spec] = fn
+    return fn
+
+
+def _unpack_jit(packed):
+    """Device-side nibble unpack (rare paths: the overflow-retry rerun)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(p):
+        lo = p & jnp.uint8(0xF)
+        hi = p >> jnp.uint8(4)
+        return jnp.stack([lo, hi], axis=-1).reshape(
+            p.shape[0], p.shape[1] * 2
+        )
+
+    return fn(packed)
+
 
 def plan_buckets(
     lens: np.ndarray,
@@ -109,6 +152,7 @@ class StreamingRunner:
         target_cells: int = 1 << 25,
         queue_depth: int = 3,
         keep_records: bool = True,
+        pack_transfer: bool = True,
     ):
         from .fasta import FastaFile
 
@@ -118,6 +162,7 @@ class StreamingRunner:
         self.target_cells = target_cells
         self.queue_depth = queue_depth
         self.keep_records = keep_records
+        self.pack_transfer = pack_transfer
         self.file = FastaFile(path)
         self.family = family_of_mode(spec.mode)
         self._chunks: List[Dict[str, np.ndarray]] = []
@@ -152,6 +197,10 @@ class StreamingRunner:
                             lengths,
                             np.zeros(rows - len(chunk), dtype=lengths.dtype),
                         ])
+                    if self.pack_transfer:
+                        from ..ops.long_read import _pack_nibbles
+
+                        codes = _pack_nibbles(codes)
                     t_pack += time.perf_counter() - t0
                     q.put((chunk, codes, lengths))
         except BaseException as e:  # surface packer errors to the consumer
@@ -169,6 +218,9 @@ class StreamingRunner:
         n_raw = np.asarray(out.n_minimizers_raw)
         if (np.asarray(out.n_minimizers) < n_raw).any():
             # slot/m_cap overflow: redo this batch with recovery retries
+            # (unpack once on device first if the batch rode packed)
+            if self.pack_transfer:
+                dcodes = _unpack_jit(dcodes)
             out = kminmers_batch(dcodes, dlens, self.spec)
         nk = np.asarray(out.n_kminmers)[: len(chunk)]
         counts[chunk] = nk
@@ -227,11 +279,23 @@ class StreamingRunner:
                 for pad, rows, _ in plan:
                     if warm_moot.is_set():
                         break
-                    wcodes = np.full((rows, pad), XCODE_PAD, dtype=np.uint8)
                     wlens = np.zeros((rows,), dtype=np.int32)
-                    jax.block_until_ready(
-                        _cached_pipeline(self.spec)(wcodes, wlens)
-                    )
+                    if self.pack_transfer:
+                        wp = np.full(
+                            (rows, pad // 2),
+                            XCODE_PAD | (XCODE_PAD << 4),
+                            dtype=np.uint8,
+                        )
+                        jax.block_until_ready(
+                            _cached_packed_pipeline(self.spec)(wp, wlens)
+                        )
+                    else:
+                        wcodes = np.full(
+                            (rows, pad), XCODE_PAD, dtype=np.uint8
+                        )
+                        jax.block_until_ready(
+                            _cached_pipeline(self.spec)(wcodes, wlens)
+                        )
             except Exception:  # pragma: no cover — warm-up is best-effort
                 pass
             warm_stat["s"] = time.perf_counter() - t_w
@@ -260,7 +324,12 @@ class StreamingRunner:
             chunk, codes, lengths = item
             dcodes = jax.device_put(codes)  # async
             dlens = jax.device_put(lengths.astype(np.int32))
-            out = _cached_pipeline(self.spec)(dcodes, dlens)  # async
+            pipe = (
+                _cached_packed_pipeline(self.spec)
+                if self.pack_transfer
+                else _cached_pipeline(self.spec)
+            )
+            out = pipe(dcodes, dlens)  # async
             inflight.append((chunk, dcodes, dlens, out))
             batches += 1
             if len(inflight) >= 2:

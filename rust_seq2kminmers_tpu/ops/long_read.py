@@ -71,11 +71,17 @@ def _counts_cap(nchunks: int) -> int:
 
 def _chunk_step(spec: PipelineSpec, chunk: int, nslots: int, rows_out: int,
                 m_cap: int, interpret: bool, block_rows: int = 256,
-                counts_cap: int = 32):
+                counts_cap: int = 32, packed: bool = False):
     """One jitted launch: fused scan (with carry in/out) + phase-2 global
     compaction of the chunk's survivors.  (n_min, n_raw) are written into
     row `ci` of the threaded `cacc` accumulator (int32[counts_cap, B, 2])
-    so the host never syncs inside the chunk loop."""
+    so the host never syncs inside the chunk loop.
+
+    packed=True: `codes` arrives as uint8[B, chunk/2] with two 4-bit
+    xcodes per byte (every xcode is (keep << 3) | code3 <= 14) and is
+    unpacked on-device — H2D bytes halve, which dominates the end-to-end
+    wall on transfer-bound links (LONGREAD_r05: upload 6.97 s of the
+    13.3 s wall for 300 Mbp through the tunnel)."""
     from .pallas.fused_scan import fused_minimizer_scan
 
     l = spec.l
@@ -83,6 +89,12 @@ def _chunk_step(spec: PipelineSpec, chunk: int, nslots: int, rows_out: int,
 
     @jax.jit
     def step(codes, length_local, limit, base0, pend0, cacc, ci):
+        if packed:
+            lo = codes & jnp.uint8(0xF)
+            hi = codes >> jnp.uint8(4)
+            codes = jnp.stack([lo, hi], axis=-1).reshape(
+                codes.shape[0], chunk
+            )
         st, en, hs, counts, pend_out = fused_minimizer_scan(
             codes,
             length_local,
@@ -121,11 +133,18 @@ def _chunk_step(spec: PipelineSpec, chunk: int, nslots: int, rows_out: int,
     return step
 
 
+def _pack_nibbles(buf: np.ndarray) -> np.ndarray:
+    """uint8[B, C] xcodes (all <= 15) -> uint8[B, C/2], two per byte."""
+    v = buf.view(np.uint16)
+    return ((v | (v >> 4)) & 0xFF).astype(np.uint8)
+
+
 def minimizer_stream_long_batch(
     rows,  # sequence of uint8[n_b] xcode arrays (one per read)
     spec: PipelineSpec,
     chunk: int = DEFAULT_CHUNK,
     interpret: Optional[bool] = None,
+    pack_transfer: bool = True,
 ):
     """-> list of (start, end, hash) numpy triples, one per read: the full
     ordered minimizer stream of each read (original-space positions).
@@ -141,6 +160,11 @@ def minimizer_stream_long_batch(
     thread; the main thread only dequeues ready device arrays and
     dispatches compute.  Staging, H2D copies and device compute of
     consecutive chunks overlap; nothing below Phase B syncs on results.
+
+    pack_transfer (default on): xcodes are 4-bit values, so the producer
+    packs two per byte (~1.3 GB/s numpy, overlapped) and the jitted step
+    unpacks on-device — H2D traffic halves.  Disable only if the staging
+    host is CPU-starved relative to its link.
     """
     import queue as _queue
     import threading
@@ -183,7 +207,8 @@ def minimizer_stream_long_batch(
     cacc = jnp.zeros((ccap, B, 2), dtype=I32)
     limit = jnp.asarray(limit_h.astype(np.int32))
     step = _chunk_step(
-        spec, chunk, nslots, rows_out, m_cap, interpret, block_rows, ccap
+        spec, chunk, nslots, rows_out, m_cap, interpret, block_rows, ccap,
+        packed=pack_transfer,
     )
 
     def stage_chunk(ci, buf):
@@ -198,7 +223,8 @@ def minimizer_stream_long_batch(
     def chunk_input(ci):
         buf = np.full((B, chunk), XCODE_PAD, dtype=np.uint8)
         ll = stage_chunk(ci, buf)
-        return jnp.asarray(buf), ll
+        src = _pack_nibbles(buf) if pack_transfer else buf
+        return jnp.asarray(src), ll
 
     # Phase A — dispatch EVERY chunk asynchronously: the tiny carry chains
     # on-device from launch to launch and no host round-trip happens
@@ -225,7 +251,13 @@ def minimizer_stream_long_batch(
                     return
                 buf = bufs[ci % 3]
                 ll = stage_chunk(ci, buf)
-                dev = jax.device_put(buf.copy() if cpu_backend else buf)
+                if pack_transfer:
+                    src = _pack_nibbles(buf)  # fresh array each chunk
+                elif cpu_backend:
+                    src = buf.copy()
+                else:
+                    src = buf
+                dev = jax.device_put(src)
                 # Block on the H2D copy HERE (off the dispatch thread) so
                 # the staging buffer is free for reuse two chunks later.
                 dev.block_until_ready()
@@ -268,7 +300,8 @@ def minimizer_stream_long_batch(
         while r_cap < int(nr.max()):
             r_cap *= 2
         rstep = _chunk_step(
-            spec, chunk, 128, 0, r_cap, interpret, block_rows, ccap
+            spec, chunk, 128, 0, r_cap, interpret, block_rows, ccap,
+            packed=pack_transfer,
         )
         rcacc = jnp.zeros((ccap, B, 2), dtype=I32)
         for ci in bad:

@@ -99,3 +99,29 @@ def test_stream_single_record(tmp_path):
     ref = kminmers(s, 11, 3, 0.1, HashMode.Hpc)
     assert st.total_kminmers == len(ref) == len(got["hash"])
     assert [int(h) for h in got["hash"]] == [r_.hash for r_ in ref]
+
+
+def test_stream_overflow_retry_on_packed_batch(tmp_path):
+    """A deliberately undersized minimizer capacity forces the _settle
+    overflow retry while batches ride the nibble-packed transfer path:
+    the rerun must unpack on-device and recover the exact oracle stream
+    (losslessly, via the api recovery loop)."""
+    rng = np.random.default_rng(11)
+    seqs = ["".join(rng.choice(list("ACGT"), size=900)) for _ in range(5)]
+    p = tmp_path / "dense.fa"
+    _write_fasta(p, seqs)
+    # density 0.2 over 900 bases ~ 180 minimizers; cap of 8 overflows
+    spec = PipelineSpec(
+        l=9, k=3, density=0.2, mode="regular", max_minimizers=8
+    )
+    with StreamingRunner(p, spec) as runner:
+        runner.run()
+        rec = runner.collect()
+    for i, s in enumerate(seqs):
+        ref = kminmers(s, 9, 3, 0.2, HashMode("regular"))
+        ids = np.nonzero(rec["read"] == i)[0]
+        assert len(ids) == len(ref) > 50, i
+        for j, r in zip(ids, ref):
+            assert int(rec["hash"][j]) == r.hash
+            assert int(rec["start"][j]) == r.start
+            assert int(rec["end"][j]) == r.end
