@@ -384,7 +384,10 @@ def make_seq_pipeline(spec: PipelineSpec, mesh: Mesh):
     L must be divisible by mesh.shape['seq'] * 1024 (each shard's chunk
     must tile into whole kernel blocks).  Supports every fused hash width
     (u16/u32/u64).  Overflow is reported, not retried: callers check
-    n_minimizers_raw_seg vs n_minimizers_seg like kminmers_batch.
+    n_minimizers_raw_seg vs n_minimizers_seg like kminmers_batch and
+    escalate with api.rescue_spec — sized as max_raw * S, because the
+    per-shard capacity is capacity // S and survivors may concentrate in
+    one shard (tests/test_seqshard_sweep.py exercises this recovery).
     """
     if spec.hash_width not in (16, 32, 64):
         raise ValueError("sequence-sharded path needs hash_width 16/32/64")
