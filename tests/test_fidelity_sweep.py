@@ -308,3 +308,83 @@ def test_fidelity_sweep(combo):
             for w in range(nk)
         ]
         assert got == ref, (combo, i, "pipeline vs literal")
+
+
+# ---- fused-kernel sweep -------------------------------------------------
+# The cases above run the pure-XLA pipeline on CPU (use_fused is False off
+# TPU); this block drives the PRODUCTION fused Pallas kernel in interpret
+# mode over a reduced combo grid so its per-mode conventions are also
+# pinned to the literal checker without a chip (the on-chip TESTS_TPU
+# suite re-validates a subset Mosaic-lowered).  Sequences are long enough
+# (> 2 kernel block rows at the small-block interpret geometry) to cross
+# block boundaries, with homopolymer bombs and garbage bytes.
+
+FUSED_COMBOS = [
+    ("regular", 32, "nthash1", 13, 4, 0.08),
+    ("simd", 32, "nthash1", 27, 2, 0.15),
+    ("hpc", 32, "nthash1", 9, 3, 0.2),
+    ("hpcsimd", 32, "nthash1", 31, 5, 0.05),
+    ("regular", 16, "nthash1", 11, 3, 0.1),
+    ("hpc", 16, "nthash1", 21, 2, 0.12),
+    ("regular", 64, "nthash1", 33, 2, 0.08),
+    ("hpc", 64, "nthash1", 15, 4, 0.1),
+    ("regular", 32, "nthash2", 45, 3, 0.1),
+    ("hpc", 32, "nthash2", 61, 2, 0.1),
+    ("simd", 32, "nthash2", 39, 4, 0.12),
+    ("hpcsimd", 32, "nthash2", 101, 2, 0.08),
+]
+
+
+@pytest.mark.parametrize(
+    "combo",
+    FUSED_COMBOS,
+    ids=[f"{m}-w{w}-{v}-l{l}" for m, w, v, l, k, d in FUSED_COMBOS],
+)
+def test_fused_kernel_fidelity(combo):
+    mode, width, variant, l, k, d = combo
+    rng = np.random.default_rng(abs(hash(combo)) % (1 << 32))
+    family = family_of_mode(mode)
+    L = 4096
+    seqs = []
+    for _ in range(3):
+        n = int(rng.integers(L // 2, L - 1))
+        parts, m = [], 0
+        while m < n:
+            if rng.random() < 0.25:
+                p = bytes([rng.choice(BASES)]) * int(rng.integers(2, 500))
+            else:
+                p = bytes(
+                    rng.choice(
+                        np.frombuffer(b"ACGTNacgtQX", dtype=np.uint8),
+                        size=int(rng.integers(30, 200)),
+                    )
+                )
+            parts.append(p)
+            m += len(p)
+        seqs.append(np.frombuffer(b"".join(parts)[:n], dtype=np.uint8))
+    codes = np.full((len(seqs), L), XCODE_PAD, dtype=np.uint8)
+    lengths = np.zeros(len(seqs), dtype=np.int32)
+    for i, b in enumerate(seqs):
+        x = encode_xcodes(b, family)
+        codes[i, : len(x)] = x
+        lengths[i] = len(x)
+    spec = PipelineSpec(
+        l=l, k=k, density=d, mode=mode, hash_width=width, variant=variant,
+        compaction="fused_interpret",
+    )
+    out = kminmers_batch(codes, lengths, spec)  # retries recover overflow
+    n_km = np.asarray(out.n_kminmers)
+    hi = np.asarray(out.hash_hi, dtype=np.uint64)
+    lo = np.asarray(out.hash_lo, dtype=np.uint64)
+    st = np.asarray(out.start)
+    en = np.asarray(out.end)
+    rv = np.asarray(out.rev)
+    for i, b in enumerate(seqs):
+        ref = lit_kminmers(b, l, k, d, mode, width, variant)
+        nk = int(n_km[i])
+        got = [
+            (int((hi[i, w] << np.uint64(32)) | lo[i, w]), int(st[i, w]),
+             int(en[i, w]), w, bool(rv[i, w]))
+            for w in range(nk)
+        ]
+        assert got == ref, (combo, i, len(got), len(ref))
