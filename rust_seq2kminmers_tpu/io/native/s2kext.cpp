@@ -67,6 +67,13 @@ PyObject* s2k_rle(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   long wide = PyLong_AsLong(args[2]);
   long want_pos = PyLong_AsLong(args[3]);
   if (PyErr_Occurred()) return nullptr;
+  // Keep multi-10MB freed output buffers warm in the malloc arena: the
+  // int64-position outputs otherwise exceed glibc's dynamic mmap
+  // threshold and pay ~5 ms of fresh page faults per call (see
+  // rle_kernels.h, "int64-position throughput").  Applied on first RLE
+  // use — not at module import — so embedders that never touch the host
+  // string kernels keep default allocator policy.
+  s2k::rle_malloc_tune();
   Input in;
   if (get_input(obj, &in) != 0) return nullptr;
 
@@ -197,10 +204,5 @@ PyModuleDef kModule = {
 
 PyMODINIT_FUNC PyInit_s2kext(void) {
   import_array();
-  // Keep multi-10MB freed output buffers warm in the malloc arena: the
-  // int64-position outputs otherwise exceed glibc's dynamic mmap
-  // threshold and pay ~5 ms of fresh page faults per call (see
-  // rle_kernels.h, "int64-position throughput").
-  s2k::rle_malloc_tune();
   return PyModule_Create(&kModule);
 }

@@ -46,11 +46,25 @@ ROW_QUANTUM = 8
 _packed_pipelines: Dict = {}
 
 
+def _nibble_unpack_expr(jnp, packed):
+    """Traced-side nibble unpack: uint8[B, C/2] -> uint8[B, C] (shared by
+    the packed pipeline, the retry path, and ops/long_read's step)."""
+    lo = packed & jnp.uint8(0xF)
+    hi = packed >> jnp.uint8(4)
+    return jnp.stack([lo, hi], axis=-1).reshape(
+        packed.shape[0], packed.shape[1] * 2
+    )
+
+
 def _cached_packed_pipeline(spec):
     """Jitted pipeline over nibble-packed codes (two 4-bit xcodes per
     byte): the device unpacks, so H2D traffic per batch halves — the
     dominant cost on transfer-bound links (see ops/long_read.py
-    pack_transfer).  Keyed like api._cached_pipeline."""
+    pack_transfer).  Keyed like api._cached_pipeline; setdefault keeps
+    one canonical jit object even when the warm thread and the dispatch
+    loop race on the first call (two objects would mean the warm thread
+    loads one executable while real batches use — and re-load — the
+    other)."""
     fn = _packed_pipelines.get(spec)
     if fn is None:
         import jax
@@ -60,30 +74,25 @@ def _cached_packed_pipeline(spec):
 
         @jax.jit
         def fn(packed, lengths):
-            lo = packed & jnp.uint8(0xF)
-            hi = packed >> jnp.uint8(4)
-            codes = jnp.stack([lo, hi], axis=-1).reshape(
-                packed.shape[0], packed.shape[1] * 2
+            return kminmer_pipeline(
+                _nibble_unpack_expr(jnp, packed), lengths, spec
             )
-            return kminmer_pipeline(codes, lengths, spec)
 
-        _packed_pipelines[spec] = fn
+        fn = _packed_pipelines.setdefault(spec, fn)
     return fn
 
 
 def _unpack_jit(packed):
-    """Device-side nibble unpack (rare paths: the overflow-retry rerun)."""
-    import jax
-    import jax.numpy as jnp
+    """Device-side nibble unpack (rare paths: the overflow-retry rerun).
+    The jitted wrapper is cached so repeated retries don't retrace."""
+    fn = _packed_pipelines.get("_unpack")
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
 
-    @jax.jit
-    def fn(p):
-        lo = p & jnp.uint8(0xF)
-        hi = p >> jnp.uint8(4)
-        return jnp.stack([lo, hi], axis=-1).reshape(
-            p.shape[0], p.shape[1] * 2
+        fn = _packed_pipelines.setdefault(
+            "_unpack", jax.jit(lambda p: _nibble_unpack_expr(jnp, p))
         )
-
     return fn(packed)
 
 
@@ -272,6 +281,7 @@ class StreamingRunner:
         # _cached_pipeline, so the real batches reuse the warmed programs.
         warm_stat = {"s": 0.0}
         warm_moot = threading.Event()  # real work done; stop starting more
+        dispatched_pads = set()  # bucket shapes a REAL batch already warmed
 
         def _warm():
             t_w = time.perf_counter()
@@ -279,6 +289,11 @@ class StreamingRunner:
                 for pad, rows, _ in plan:
                     if warm_moot.is_set():
                         break
+                    if pad in dispatched_pads:
+                        # a real batch of this shape is already in flight —
+                        # it pays the program load itself; a dummy would
+                        # only steal device time
+                        continue
                     wlens = np.zeros((rows,), dtype=np.int32)
                     if self.pack_transfer:
                         wp = np.full(
@@ -322,6 +337,9 @@ class StreamingRunner:
                 pack_s = item
                 break
             chunk, codes, lengths = item
+            dispatched_pads.add(
+                codes.shape[1] * (2 if self.pack_transfer else 1)
+            )
             dcodes = jax.device_put(codes)  # async
             dlens = jax.device_put(lengths.astype(np.int32))
             pipe = (

@@ -90,11 +90,9 @@ def _chunk_step(spec: PipelineSpec, chunk: int, nslots: int, rows_out: int,
     @jax.jit
     def step(codes, length_local, limit, base0, pend0, cacc, ci):
         if packed:
-            lo = codes & jnp.uint8(0xF)
-            hi = codes >> jnp.uint8(4)
-            codes = jnp.stack([lo, hi], axis=-1).reshape(
-                codes.shape[0], chunk
-            )
+            from ..io.stream import _nibble_unpack_expr
+
+            codes = _nibble_unpack_expr(jnp, codes)
         st, en, hs, counts, pend_out = fused_minimizer_scan(
             codes,
             length_local,
@@ -235,12 +233,6 @@ def minimizer_stream_long_batch(
     q: "_queue.Queue" = _queue.Queue(maxsize=2)
     stop = threading.Event()
 
-    # On the CPU backend device_put can ALIAS the numpy buffer zero-copy,
-    # so a reused staging buffer would race with in-flight computation;
-    # force a private copy there.  On accelerators the H2D transfer is a
-    # real copy and block_until_ready releases the staging buffer.
-    cpu_backend = jax.default_backend() == "cpu"
-
     def producer():
         bufs = [
             np.empty((B, chunk), dtype=np.uint8) for _ in range(3)
@@ -251,15 +243,14 @@ def minimizer_stream_long_batch(
                     return
                 buf = bufs[ci % 3]
                 ll = stage_chunk(ci, buf)
-                if pack_transfer:
-                    src = _pack_nibbles(buf)  # fresh array each chunk
-                elif cpu_backend:
-                    src = buf.copy()
-                else:
-                    src = buf
+                # device_put always receives a PRIVATE array (the packed
+                # copy, or an explicit .copy() on the unpacked path):
+                # on the CPU backend device_put can alias the numpy
+                # buffer zero-copy, and through remote transports
+                # block_until_ready is not a trustworthy wire-completion
+                # barrier — never hand it a buffer that will be restaged.
+                src = _pack_nibbles(buf) if pack_transfer else buf.copy()
                 dev = jax.device_put(src)
-                # Block on the H2D copy HERE (off the dispatch thread) so
-                # the staging buffer is free for reuse two chunks later.
                 dev.block_until_ready()
                 q.put((dev, ll))
         except BaseException as e:  # pragma: no cover — surfaced below

@@ -45,7 +45,7 @@ FIXTURE = REPO / "tests" / "data" / "ecoli.genome.100k.fa"
 sys.path.insert(0, str(REPO))
 
 
-def run_cli(env) -> tuple[float, float]:
+def run_cli(env) -> tuple[float, float, float | None]:
     """-> (subprocess wall s, in-CLI stream s, background warm s)."""
     t0 = time.perf_counter()
     r = subprocess.run(

@@ -143,12 +143,18 @@ def main():
     nchunks = -(-n // cdev)
     from rust_seq2kminmers_tpu.ops.long_read import _pack_nibbles
 
-    # production phase A packs two 4-bit xcodes per byte before upload
+    # production phase A packs two 4-bit xcodes per byte before upload.
+    # Each rep syncs by materializing a REDUCTION of the uploaded array to
+    # host: block_until_ready is not a trustworthy wire-completion barrier
+    # through the tunnel (memory: axon measurement rules), but a computed
+    # result cannot exist before its operand finished arriving.  (Sanity:
+    # the measured time halves exactly with the packed payload size.)
     up_buf = _pack_nibbles(np.ascontiguousarray(codes[:cdev][None, :]))
-    jax.block_until_ready(jax.device_put(up_buf))  # warm path
+    up_sum = jax.jit(lambda x: jnp.max(x))
+    int(up_sum(jax.device_put(up_buf)))  # warm path
     t0 = time.perf_counter()
     for _ in range(nchunks):
-        jax.block_until_ready(jax.device_put(up_buf))
+        int(up_sum(jax.device_put(up_buf)))
     t_upload = time.perf_counter() - t0
     print(f"upload ({nchunks} x {up_buf.nbytes >> 20} MB nibble-packed "
           f"chunks): {t_upload:.2f}s = {n / t_upload / 1e9:.3f} GB/s "

@@ -23,6 +23,8 @@ Cases are grouped into one [B, L] batch per parameter combo so the sweep
 stays one pipeline compilation per combo (~1 s CPU each).
 """
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -268,9 +270,7 @@ L_PAD = 512
 )
 def test_fidelity_sweep(combo):
     mode, width, variant, l, k, d = combo
-    rng = np.random.default_rng(
-        np.array([hash(combo) & 0x7FFFFFFF], dtype=np.uint64)
-    )
+    rng = np.random.default_rng(zlib.crc32(repr(combo).encode()))
     family = family_of_mode(mode)
     seqs = [
         _gen_seq(rng, ALPHABETS[i % len(ALPHABETS)], l, L_PAD)
@@ -342,7 +342,7 @@ FUSED_COMBOS = [
 )
 def test_fused_kernel_fidelity(combo):
     mode, width, variant, l, k, d = combo
-    rng = np.random.default_rng(abs(hash(combo)) % (1 << 32))
+    rng = np.random.default_rng(zlib.crc32(repr(combo).encode()))
     family = family_of_mode(mode)
     L = 4096
     seqs = []
