@@ -77,6 +77,32 @@ def host_cases(size: int):
             "iters_per_rep": iters,
         }
 
+    # Kernel-only steady loop timed INSIDE the native extension
+    # (criterion's exact setup: the Rust harness iterates the closure with
+    # no FFI in the loop, reference benches/bench.rs:36-49).  The rows
+    # above measure what a Python caller pays per call; these measure the
+    # kernel itself.
+    from .io.native_ext import load_ext
+
+    ext = load_ext()
+    if ext is not None and hasattr(ext, "rle_loop"):
+        for name, (collapse_any, wide, want_pos) in [
+            ("hpc_plain", (1, 0, 0)),
+            ("hpc_encode_rle", (0, 1, 1)),
+            ("hpc_encode_rle_simd", (1, 0, 1)),
+        ]:
+            best = 0.0
+            for _ in range(3):
+                iters, ns = ext.rle_loop(seq, collapse_any, wide, want_pos, 50)
+                best = max(best, size * iters / max(ns, 1))
+            yield {
+                "case": f"{name}_native_loop",
+                "value": round(best, 3),
+                "unit": "GB/s",
+                "backend": "host-native-c++ (in-native loop)",
+                "size": size,
+            }
+
 
 def device_cases(size: int, steps: int):
     import jax

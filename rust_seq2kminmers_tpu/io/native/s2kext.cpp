@@ -24,6 +24,8 @@
 #define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
 #include <numpy/arrayobject.h>
 
+#include <chrono>
+
 #include "rle_kernels.h"
 
 namespace {
@@ -163,6 +165,69 @@ PyObject* s2k_rle(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   return Py_BuildValue("(NN)", str, reinterpret_cast<PyObject*>(arr));
 }
 
+PyObject* s2k_rle_loop(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+  // rle_loop(data, collapse_any, wide, want_pos, min_ms) -> (iters, ns)
+  //
+  // Criterion-equivalent steady-state measurement: the kernel is invoked
+  // repeatedly into preallocated worst-case buffers with the clock read
+  // INSIDE native code, so the measured region contains zero Python/FFI
+  // call overhead — the same methodology as the reference's criterion
+  // harness, which iterates the Rust closure directly
+  // (reference benches/bench.rs:36-49).  At 10 kB a single Python-level
+  // call costs ~1-3 us of FFI + object construction against ~1-2 us of
+  // kernel work; this entry separates the two.
+  if (nargs != 5) {
+    PyErr_SetString(PyExc_TypeError,
+                    "rle_loop(data, collapse_any, wide, want_pos, min_ms)");
+    return nullptr;
+  }
+  long collapse_any = PyLong_AsLong(args[1]);
+  long wide = PyLong_AsLong(args[2]);
+  long want_pos = PyLong_AsLong(args[3]);
+  long min_ms = PyLong_AsLong(args[4]);
+  if (PyErr_Occurred()) return nullptr;
+  s2k::rle_malloc_tune();
+  Input in;
+  if (get_input(args[0], &in) != 0) return nullptr;
+  if (in.n == 0) return Py_BuildValue("(ll)", 0L, 0L);
+
+  uint8_t* out_chars = static_cast<uint8_t*>(malloc(in.n));
+  void* out_pos =
+      want_pos ? malloc(static_cast<size_t>(in.n) * (wide ? 8 : 4)) : nullptr;
+  if (!out_chars || (want_pos && !out_pos)) {
+    free(out_chars);
+    free(out_pos);
+    return PyErr_NoMemory();
+  }
+
+  int64_t iters = 0, ns = 0, sink = 0;
+  Py_BEGIN_ALLOW_THREADS;
+  auto run = [&]() -> int64_t {
+    if (wide)
+      return s2k::rle_dispatch<int64_t>(in.data, in.n, collapse_any,
+                                        out_chars,
+                                        static_cast<int64_t*>(out_pos));
+    return s2k::rle_dispatch<int32_t>(in.data, in.n, collapse_any, out_chars,
+                                      static_cast<int32_t*>(out_pos));
+  };
+  sink += run();  // warm (page-fault the scratch buffers once)
+  const int64_t min_ns = static_cast<int64_t>(min_ms) * 1000000;
+  auto t0 = std::chrono::steady_clock::now();
+  do {
+    sink += run() + out_chars[0];
+    ++iters;
+    ns = std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::steady_clock::now() - t0)
+             .count();
+  } while (ns < min_ns);
+  Py_END_ALLOW_THREADS;
+  free(out_chars);
+  free(out_pos);
+  if (sink == -1) iters = -1;  // keep `sink` observable
+  return Py_BuildValue("(LL)", static_cast<long long>(iters),
+                       static_cast<long long>(ns));
+}
+
 PyObject* s2k_xcode(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   // xcode(data, table: buffer of >= 256 uint8) -> uint8 ndarray
   if (nargs != 2) {
@@ -190,6 +255,9 @@ PyObject* s2k_xcode(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
 PyMethodDef kMethods[] = {
     {"rle", reinterpret_cast<PyCFunction>(s2k_rle), METH_FASTCALL,
      "rle(data, collapse_any, wide, want_pos) -> (str, ndarray|None)"},
+    {"rle_loop", reinterpret_cast<PyCFunction>(s2k_rle_loop), METH_FASTCALL,
+     "rle_loop(data, collapse_any, wide, want_pos, min_ms) -> (iters, ns); "
+     "criterion-style in-native steady-state kernel loop"},
     {"xcode", reinterpret_cast<PyCFunction>(s2k_xcode), METH_FASTCALL,
      "xcode(data, table256) -> uint8 ndarray ((keep << 3) | code)"},
     {nullptr, nullptr, 0, nullptr},
