@@ -87,3 +87,21 @@ def test_compaction_methods_agree(rng, method):
         assert count[b] == mask[b].sum()
         np.testing.assert_array_equal(out[b, : len(want)], want)
         assert np.all(out[b, len(want):] == -1)
+
+
+def test_native_rle_loop_bench_entry():
+    """Smoke the criterion-style in-native steady loop (s2kext.rle_loop):
+    returns (iters, ns) with the requested minimum duration honored, for
+    every (collapse_any, wide, want_pos) combination the bench suite uses,
+    plus the empty-input edge."""
+    from rust_seq2kminmers_tpu.io.native_ext import load_ext
+
+    ext = load_ext()
+    if ext is None or not hasattr(ext, "rle_loop"):
+        pytest.skip("native extension unavailable")
+    data = ("ACGTT" * 400).encode()
+    for collapse_any, wide, want_pos in [(1, 0, 0), (0, 1, 1), (1, 0, 1)]:
+        iters, ns = ext.rle_loop(data, collapse_any, wide, want_pos, 5)
+        assert iters >= 1
+        assert ns >= 5_000_000
+    assert ext.rle_loop(b"", 1, 0, 1, 5) == (0, 0)
